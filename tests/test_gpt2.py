@@ -1,0 +1,152 @@
+"""GPT-2 core: parity vs HF PyTorch, KV-cache consistency, scan/masking."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipcap_tpu.models.gpt2 import (
+    GPT2Config,
+    gpt2_apply,
+    gpt2_embed_tokens,
+    init_gpt2,
+    init_kv_cache,
+)
+from clipcap_tpu.models.hf_import import gpt2_config_from_hf, gpt2_params_from_hf
+
+TINY = dict(vocab_size=97, n_positions=64, n_embd=32, n_layer=3, n_head=4)
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_model():
+    torch = pytest.importorskip("torch")
+    from transformers import GPT2Config as HFConfig
+    from transformers import GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=TINY["vocab_size"],
+        n_positions=TINY["n_positions"],
+        n_embd=TINY["n_embd"],
+        n_layer=TINY["n_layer"],
+        n_head=TINY["n_head"],
+    )
+    model = GPT2LMHeadModel(hf_cfg).eval()
+    return model, hf_cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_jax(tiny_hf_model):
+    model, hf_cfg = tiny_hf_model
+    cfg = gpt2_config_from_hf(hf_cfg)
+    params = gpt2_params_from_hf(model.state_dict(), cfg)
+    return params, cfg
+
+
+def test_logit_parity_full_sequence(tiny_hf_model, tiny_jax):
+    import torch
+
+    model, _ = tiny_hf_model
+    params, cfg = tiny_jax
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 12))
+
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids)).logits.numpy()
+
+    logits, _ = gpt2_apply(
+        params, cfg, input_ids=jnp.asarray(ids), dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_logit_parity_inputs_embeds_and_mask(tiny_hf_model, tiny_jax):
+    """The exact call pattern the reference uses: inputs_embeds + attention_mask
+    with trailing padding (/root/reference/clipcap/model/model.py:43-58)."""
+    import torch
+
+    model, _ = tiny_hf_model
+    params, cfg = tiny_jax
+    rng = np.random.default_rng(2)
+    B, T = 2, 10
+    embeds = rng.normal(size=(B, T, cfg.n_embd)).astype(np.float32)
+    mask = np.ones((B, T), dtype=np.int64)
+    mask[0, 7:] = 0  # trailing pads like the training batch layout
+
+    with torch.no_grad():
+        ref = model(
+            inputs_embeds=torch.tensor(embeds), attention_mask=torch.tensor(mask)
+        ).logits.numpy()
+
+    logits, _ = gpt2_apply(
+        params, cfg, inputs_embeds=jnp.asarray(embeds),
+        attention_mask=jnp.asarray(mask), dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # Only compare non-pad query positions: HF leaves pad rows defined but
+    # downstream never reads them.
+    ours = np.asarray(logits)
+    np.testing.assert_allclose(ours[0, :7], ref[0, :7], atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(ours[1], ref[1], atol=2e-4, rtol=2e-4)
+
+
+def test_kv_cache_matches_full_forward(tiny_jax):
+    """Prefill + single-token decode through the cache must equal the
+    uncached full forward (the reference re-forwards everything each step;
+    our cache is the TPU-native replacement and must be numerically equal)."""
+    params, cfg = tiny_jax
+    rng = np.random.default_rng(3)
+    B, T = 2, 9
+    embeds = jnp.asarray(rng.normal(size=(B, T, cfg.n_embd)).astype(np.float32))
+
+    full_logits, _ = gpt2_apply(
+        params, cfg, inputs_embeds=embeds, dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    cache = init_kv_cache(cfg, B, max_len=16, dtype=jnp.float32)
+    # Prefill with the first 5 positions.
+    logits_p, cache = gpt2_apply(
+        params, cfg, inputs_embeds=embeds[:, :5], kv_cache=cache,
+        cache_index=jnp.int32(0), dtype=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(full_logits[:, :5]), atol=1e-4, rtol=1e-4
+    )
+    # Decode the remaining tokens one at a time.
+    for t in range(5, T):
+        step_logits, cache = gpt2_apply(
+            params, cfg, inputs_embeds=embeds[:, t : t + 1], kv_cache=cache,
+            cache_index=jnp.int32(t), dtype=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]),
+            atol=1e-4, rtol=1e-4,
+        )
+
+
+def test_embed_tokens_matches_wte(tiny_jax):
+    params, cfg = tiny_jax
+    ids = jnp.asarray([[1, 5, 9]])
+    out = gpt2_embed_tokens(params, ids)
+    np.testing.assert_array_equal(
+        np.asarray(out[0, 1]), np.asarray(params["wte"][5])
+    )
+
+
+def test_random_init_shapes():
+    cfg = GPT2Config(**TINY)
+    params = init_gpt2(cfg, seed=0)
+    assert params["h"]["attn"]["c_attn"]["w"].shape == (3, 32, 96)
+    logits, _ = gpt2_apply(params, cfg, input_ids=jnp.zeros((1, 4), jnp.int32))
+    assert logits.shape == (1, 4, 97)
+
+
+def test_remat_matches_no_remat(tiny_jax):
+    params, cfg = tiny_jax
+    embeds = jnp.asarray(np.random.default_rng(4).normal(size=(1, 6, cfg.n_embd)).astype(np.float32))
+    a, _ = gpt2_apply(params, cfg, inputs_embeds=embeds, remat=False, dtype=jnp.float32)
+    b, _ = gpt2_apply(params, cfg, inputs_embeds=embeds, remat=True, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
