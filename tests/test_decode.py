@@ -1,0 +1,231 @@
+"""Decode engine: temp-0 token parity vs HF generate, logit-processor parity
+vs the reference algorithms, beam-search parity vs a literal numpy port of
+the reference control flow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipcap_tpu.inference.beam import BeamParams, beam_search
+from clipcap_tpu.inference.engine import SamplingParams, decode
+from clipcap_tpu.models.gpt2 import gpt2_apply, gpt2_embed_tokens
+from clipcap_tpu.models.hf_import import gpt2_config_from_hf, gpt2_params_from_hf
+from clipcap_tpu.ops import sampling
+
+torch = pytest.importorskip("torch")
+
+TINY = dict(vocab_size=211, n_positions=128, n_embd=32, n_layer=2, n_head=4)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    from transformers import GPT2Config as HFConfig
+    from transformers import GPT2LMHeadModel
+
+    torch.manual_seed(7)
+    hf_cfg = HFConfig(
+        vocab_size=TINY["vocab_size"], n_positions=TINY["n_positions"],
+        n_embd=TINY["n_embd"], n_layer=TINY["n_layer"], n_head=TINY["n_head"],
+    )
+    model = GPT2LMHeadModel(hf_cfg).eval()
+    cfg = gpt2_config_from_hf(hf_cfg)
+    params = gpt2_params_from_hf(model.state_dict(), cfg)
+    return model, params, cfg
+
+
+def test_greedy_token_parity_vs_hf(tiny):
+    """North-star: temperature-0 captions must match the reference
+    token-for-token (BASELINE.md). HF generate(do_sample=False) from
+    inputs_embeds is the oracle."""
+    hf, params, cfg = tiny
+    rng = np.random.default_rng(11)
+    prefix = rng.normal(size=(1, 7, cfg.n_embd)).astype(np.float32) * 0.02
+    N = 12
+
+    with torch.no_grad():
+        hf_out = hf.generate(
+            inputs_embeds=torch.tensor(prefix), max_new_tokens=N,
+            do_sample=False, eos_token_id=None, pad_token_id=0,
+        ).numpy()[0]
+
+    sp = SamplingParams(max_new_tokens=N, mode="greedy", stop_token=-1,
+                        repetition_penalty=1.0)
+    res = decode(params, cfg, jnp.asarray(prefix), jax.random.PRNGKey(0), sp,
+                 dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    ours = np.asarray(res.tokens)[0][: int(res.lengths[0])]
+    np.testing.assert_array_equal(ours, hf_out[:N])
+
+
+def test_engine_stops_and_excludes_stop_token(tiny):
+    _, params, cfg = tiny
+    prefix = jnp.asarray(np.random.default_rng(1).normal(size=(2, 4, cfg.n_embd)).astype(np.float32))
+    # Find each row's greedy path, then set stop_token to the 3rd greedy token
+    sp0 = SamplingParams(max_new_tokens=8, mode="greedy", stop_token=-1, repetition_penalty=1.0)
+    base = decode(params, cfg, prefix, jax.random.PRNGKey(0), sp0, dtype=jnp.float32)
+    stop = int(np.asarray(base.tokens)[0, 2])
+
+    sp = SamplingParams(max_new_tokens=8, mode="greedy", stop_token=stop,
+                        include_stop_token=False, repetition_penalty=1.0)
+    res = decode(params, cfg, prefix, jax.random.PRNGKey(0), sp, dtype=jnp.float32)
+    toks0 = np.asarray(res.tokens)[0]
+    assert int(res.lengths[0]) <= 2 or stop not in toks0[: int(res.lengths[0])]
+
+    sp_inc = SamplingParams(max_new_tokens=8, mode="greedy", stop_token=stop,
+                            include_stop_token=True, repetition_penalty=1.0)
+    res_inc = decode(params, cfg, prefix, jax.random.PRNGKey(0), sp_inc, dtype=jnp.float32)
+    row = np.asarray(res_inc.tokens)[0][: int(res_inc.lengths[0])]
+    if stop in row:
+        assert row[-1] == stop  # stop token recorded last, nothing after
+
+
+def test_top_k_top_p_filter_parity():
+    """Against the reference's torch gist (utils.py:5-32), per-row."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(4, 50)).astype(np.float32) * 3
+
+    def ref_filter(row, top_k, top_p):
+        row = torch.tensor(row.copy())
+        if top_k > 0:
+            kth = torch.topk(row, top_k)[0][-1]
+            row[row < kth] = -float("inf")
+        if top_p > 0:
+            sl, si = torch.sort(row, descending=True)
+            cp = torch.cumsum(F.softmax(sl, dim=-1), dim=-1)
+            rm = cp > top_p
+            rm[1:] = rm[:-1].clone()
+            rm[0] = False
+            row[si[rm]] = -float("inf")
+        return row.numpy()
+
+    for top_k, top_p in [(0, 0.9), (10, 0.0), (7, 0.6), (0, 0.0)]:
+        ours = np.asarray(sampling.top_k_top_p_filter(jnp.asarray(logits), top_k, top_p))
+        for b in range(4):
+            ref = ref_filter(logits[b], top_k, top_p)
+            finite = np.isfinite(ref)
+            ours_keep = ours[b] > -1e8
+            np.testing.assert_array_equal(ours_keep, finite)
+            np.testing.assert_allclose(ours[b][finite], ref[finite], atol=1e-6)
+
+
+def test_repetition_penalty_parity():
+    rng = np.random.default_rng(4)
+    logits = rng.normal(size=(2, 30)).astype(np.float32)
+    tokens = np.array([[1, 5, 5, 2], [0, 3, 7, 9]], dtype=np.int32)
+
+    def ref(row, toks, p):
+        row = torch.tensor(row.copy())
+        t = torch.tensor(toks.astype(np.int64))
+        tl = torch.gather(row, -1, t)
+        tl = torch.where(tl < 0, tl * p, tl / p)
+        row.scatter_(-1, t, tl)
+        return row.numpy()
+
+    ours = np.asarray(sampling.repetition_penalty_apply(
+        jnp.asarray(logits), jnp.asarray(tokens), 1.2,
+        valid=jnp.ones_like(jnp.asarray(tokens), dtype=bool)))
+    for b in range(2):
+        np.testing.assert_allclose(ours[b], ref(logits[b], tokens[b], 1.2), atol=1e-6)
+
+
+def test_nucleus_renormalize_parity():
+    """Against the reference's batched searchsorted construction
+    (nucleus_sampling.py:44-54)."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(5)
+    logits = rng.normal(size=(3, 40)).astype(np.float32) * 2
+    top_p, top_k = 0.8, 40
+
+    lt = torch.tensor(logits)
+    p, idx = F.softmax(lt, dim=-1).topk(top_k, dim=-1)
+    cp = p.cumsum(dim=-1)
+    thr = top_p + torch.zeros((3, 1))
+    cut = torch.searchsorted(cp, thr).clip(max=top_k - 1).squeeze()
+    cutoffs = cp[torch.arange(3), cut]
+    cens = (cp <= cutoffs[:, None]) * p
+    renorm = cens / cens.sum(dim=-1, keepdims=True)
+    ref = torch.zeros_like(lt)
+    rowi = torch.arange(3).unsqueeze(1).repeat(1, top_k)
+    ref[rowi, idx] = renorm
+    ref = ref.numpy()
+
+    ours = np.asarray(sampling.nucleus_renormalize(jnp.asarray(logits), top_k, top_p))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def _numpy_reference_beam(params, cfg, prefix, beam_size, N, stop_token):
+    """Literal numpy port of the reference's beam control flow
+    (base.py:55-132), using full re-forwards (no cache) as the oracle."""
+    def forward_last_logits(embeds):
+        logits, _ = gpt2_apply(params, cfg, inputs_embeds=jnp.asarray(embeds),
+                               dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        return np.asarray(logits[:, -1, :])
+
+    def embed(tok_ids):
+        return np.asarray(gpt2_embed_tokens(params, jnp.asarray(tok_ids), jnp.float32))
+
+    embeds = prefix.copy()  # [1, P, D]
+    tokens = None
+    scores = None
+    seq_lengths = np.ones(beam_size)
+    has_stopped = np.zeros(beam_size, dtype=bool)
+
+    for _ in range(N):
+        logits = forward_last_logits(embeds)
+        logp = np.log(_softmax(logits))
+        if scores is None:
+            order = np.argsort(-logp[0], kind="stable")[:beam_size]
+            scores = logp[0][order]
+            tokens = order[:, None].astype(np.int64)
+            embeds = np.repeat(embeds, beam_size, axis=0)
+        else:
+            logp[has_stopped] = -np.inf
+            logp[has_stopped, 0] = 0
+            scores_sum = scores[:, None] + logp
+            seq_lengths[~has_stopped] += 1
+            avg = scores_sum / seq_lengths[:, None]
+            flat = avg.reshape(-1)
+            idx = np.argsort(-flat, kind="stable")[:beam_size]
+            src = idx // logp.shape[1]
+            nxt = idx % logp.shape[1]
+            seq_lengths = seq_lengths[src]
+            tokens = np.concatenate([tokens[src], nxt[:, None]], axis=1)
+            embeds = embeds[src]
+            scores = flat[idx] * seq_lengths
+            has_stopped = has_stopped[src]
+        next_tokens = tokens[:, -1]
+        emb = embed(next_tokens[:, None])
+        embeds = np.concatenate([embeds, emb], axis=1)
+        has_stopped = has_stopped | (next_tokens == stop_token)
+        if has_stopped.all():
+            break
+    return tokens, scores / seq_lengths, seq_lengths
+
+
+def _softmax(x):
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def test_beam_parity_vs_reference_semantics(tiny):
+    _, params, cfg = tiny
+    rng = np.random.default_rng(6)
+    prefix = rng.normal(size=(1, 5, cfg.n_embd)).astype(np.float32) * 0.02
+    K, N = 4, 10
+    stop = 3  # arbitrary token id as "eos" for the tiny vocab
+
+    ref_tokens, ref_scores, ref_lens = _numpy_reference_beam(
+        params, cfg, prefix, K, N, stop
+    )
+
+    bp = BeamParams(beam_size=K, max_new_tokens=N, stop_token=stop)
+    res = beam_search(params, cfg, jnp.asarray(prefix), bp,
+                      dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+
+    got_tokens = np.asarray(res.tokens)
+    T = ref_tokens.shape[1]
+    np.testing.assert_array_equal(got_tokens[:, :T], ref_tokens)
+    np.testing.assert_allclose(np.asarray(res.scores), ref_scores, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.seq_lengths), ref_lens, atol=1e-6)
