@@ -1,0 +1,146 @@
+"""Training orchestrator — the TPU-native ``python -m clipcap_tpu.train``.
+
+Reference call stack mirrored (/root/reference/clipcap/train/train.py:17-104):
+read ``encoder_config.yaml`` → build dataloader + discover embedding size →
+assemble Config/TrainingConfig (total_steps = len(dl)·epochs) → pick
+prefix-only vs full-finetune → train → checkpoints.
+
+The PL ``Trainer`` + DDP/DeepSpeed stack is replaced by: a named device
+mesh, one jitted train step with sharded batch + ZeRO-1 moments
+(clipcap_tpu.train.step), a host-side prefetching dataloader, and orbax/npz
+checkpointing with full resume (which the reference lacks — SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+import time
+from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser, Namespace
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from clipcap_tpu.config import Config, EncoderConfig, TrainingConfig
+from clipcap_tpu.models.args import add_model_args
+from clipcap_tpu.models.clipcap import init_clipcap
+from clipcap_tpu.parallel.mesh import MeshConfig, make_mesh
+from clipcap_tpu.train.args import add_training_args
+from clipcap_tpu.train.checkpoint import CheckpointSaver, restore_train_state
+from clipcap_tpu.train.dataloader import get_dataloader
+from clipcap_tpu.train.state import create_train_state, make_optimizer
+from clipcap_tpu.train.step import make_train_step
+
+
+def _select_devices(device_arg: str):
+    devs = jax.devices()
+    if device_arg in ("-1", "", None):
+        return devs
+    ids = [int(d) for d in str(device_arg).split(",")]
+    return [devs[i] for i in ids]
+
+
+def train(args: Namespace) -> int:
+    compute_dtype = jnp.bfloat16 if args.fp_precision == 16 else (
+        jnp.float64 if args.fp_precision == 64 else jnp.float32
+    )
+
+    with open(Path(args.input_dataset) / "encoder_config.yaml", "r") as f:
+        encoder_config = EncoderConfig(**yaml.safe_load(f))
+
+    dataloader, encoder_embedding_size = get_dataloader(
+        data_path=args.input_dataset,
+        language_model=args.language_model,
+        batch_size=args.batch_size,
+        reader_max_piece_size=args.reader_max_piece_size,
+        reader_parallel_pieces=args.reader_parallel_pieces,
+    )
+
+    encoder_config.encoder_embedding_size = encoder_embedding_size
+    args.total_steps = len(dataloader) * args.epochs
+
+    model_config = Config.from_args(args)
+    model_config.training_config = TrainingConfig.from_args(args)
+    model_config.encoder_config = encoder_config
+
+    model = init_clipcap(model_config)
+    mode = "prefix + language model" if args.train_language_model else "prefix only"
+    print(f"training {mode}; total_steps={args.total_steps}")
+
+    devices = _select_devices(args.device)
+    mesh = make_mesh(MeshConfig(), devices=devices)
+    print(f"mesh: {dict(mesh.shape)} over {len(devices)} device(s)")
+
+    tx = make_optimizer(
+        lr=args.optimizer_lr,
+        warmup_steps=args.scheduler_warmup_steps,
+        total_steps=args.total_steps,
+        train_language_model=args.train_language_model,
+        grad_clip_norm=args.grad_clip_norm or None,
+    )
+    state = create_train_state(model.params, tx)
+    if args.resume_from:
+        state = restore_train_state(args.resume_from, state)
+        print(f"resumed from {args.resume_from} at step {int(state.step)}")
+
+    emb_ndim = 3 if encoder_config.use_windowed_embeddings else 2
+    zero1 = args.zero1_optimizer_sharding or args.enable_deepspeed
+    step_fn, state = make_train_step(
+        mesh, state, tx, model.lm_config, model.mapper_config,
+        prefix_length=model_config.prefix_length,
+        embeddings_ndim=emb_ndim,
+        dtype=compute_dtype,
+        remat=args.train_language_model,  # finetune needs the memory headroom
+        zero1=zero1,
+    )
+
+    checkpoint_saver = CheckpointSaver(
+        model_config,
+        output_folder=args.output_folder,
+        filename_prefix=str(args.checkpoint_filename_prefix),
+        save_every_n_epochs=args.checkpoint_save_frequency,
+    )
+
+    logger = None
+    if args.enable_wandb:
+        try:
+            import wandb
+
+            logger = wandb.init(project=args.wandb_project, config=model_config.to_dict())
+        except Exception as e:  # wandb not installed / offline
+            print(f"wandb disabled ({e})")
+
+    t0 = time.time()
+    seen = 0
+    for epoch in range(args.epochs):
+        for tokens, embeds in dataloader:
+            state, metrics = step_fn(state, jnp.asarray(tokens), jnp.asarray(embeds))
+            seen += tokens.shape[0]
+            step = int(metrics["step"])
+            if step % args.logging_frequency == 0:
+                loss = float(metrics["loss"])
+                rate = seen / max(time.time() - t0, 1e-9)
+                print(f"epoch {epoch} step {step} loss {loss:.4f} ({rate:.1f} samples/s)")
+                if logger is not None:
+                    logger.log({"loss": loss, "epoch": epoch, "samples_per_sec": rate}, step=step)
+        saved = checkpoint_saver.on_epoch_end(epoch, state)
+        if saved:
+            print(f"checkpoint: {saved}")
+
+    final = checkpoint_saver.save_final_checkpoint(state)
+    print(f"final checkpoint: {final}")
+    if logger is not None:
+        logger.finish()
+    return 0
+
+
+def start_training() -> int:
+    parser = ArgumentParser(description=__doc__, formatter_class=ArgumentDefaultsHelpFormatter)
+    parser = add_training_args(parser)
+    parser = add_model_args(parser)
+    args = parser.parse_args()
+    return train(args)
+
+
+if __name__ == "__main__":
+    exit(start_training())

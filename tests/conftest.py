@@ -3,14 +3,24 @@
 Multi-chip hardware is not available in CI; per the TPU-world playbook we
 fake an 8-device mesh on CPU so every sharding/pjit path is exercised for
 real (SURVEY.md §4d).
+
+Note: the driver environment registers the TPU backend via sitecustomize at
+interpreter startup (jax is partially imported before conftest runs), so
+``JAX_PLATFORMS`` env alone is too late — ``jax.config.update`` after import
+is the reliable switch.
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA flags are read lazily when the CPU client first initializes, so this
+# still takes effect here.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
