@@ -161,7 +161,9 @@ class CLIPEncoder:
                                     dtype=dtype, precision=precision)
             if normalize_embeddings:
                 out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
-            return out
+            # On-disk dataset contract is float32 npy (bfloat16 is a compute
+            # dtype; numpy can't round-trip it through .npy portably).
+            return out.astype(jnp.float32)
 
         self._forward = _forward
 

@@ -103,6 +103,11 @@ CLIP_PRESETS: Dict[str, CLIPConfig] = {
     "ViT-L/14@336px": _preset("ViT-L/14@336px", image_size=336, patch=14,
                               vwidth=1024, vlayers=24, vheads=16, embed=768,
                               twidth=768, tlayers=12, theads=12),
+    # Test-scale preset (not an OpenAI model): tiny towers for integration
+    # tests and offline smoke runs of the CLIs.
+    "test-tiny": _preset("test-tiny", image_size=32, patch=16, vwidth=64,
+                         vlayers=2, vheads=4, embed=32, twidth=64, tlayers=2,
+                         theads=4),
 }
 
 
@@ -429,6 +434,8 @@ def load_clip(variant: str, checkpoint_path: Optional[str] = None):
     ``.pt`` (jit archive or plain state dict).
     """
     cfg = get_clip_config(variant)
+    if cfg.name == "test-tiny":  # test preset has no pretrained weights
+        return init_clip(cfg), cfg
     if checkpoint_path:
         sd = _load_openai_checkpoint(checkpoint_path)
         return clip_params_from_openai(sd, clip_config_from_openai(sd)), clip_config_from_openai(sd)

@@ -63,6 +63,10 @@ GPT2_PRESETS: Dict[str, GPT2Config] = {
     "gpt2-medium": GPT2Config(n_embd=1024, n_layer=24, n_head=16, name="gpt2-medium"),
     "gpt2-large": GPT2Config(n_embd=1280, n_layer=36, n_head=20, name="gpt2-large"),
     "gpt2-xl": GPT2Config(n_embd=1600, n_layer=48, n_head=25, name="gpt2-xl"),
+    # Test-scale preset (not an HF model): full GPT-2 vocab, tiny body.
+    # Used by integration tests and offline smoke runs of the CLIs.
+    "gpt2-test": GPT2Config(n_embd=64, n_layer=2, n_head=4, n_positions=256,
+                            name="gpt2-test"),
 }
 
 

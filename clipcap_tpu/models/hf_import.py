@@ -136,6 +136,9 @@ def load_gpt2(name_or_path: str):
                 return gpt2_params_from_hf(load_torch_state_dict(p), cfg), cfg
         raise FileNotFoundError(f"no weights file in {name_or_path}")
 
+    if name_or_path == "gpt2-test":  # test preset has no pretrained weights
+        return init_gpt2(GPT2_PRESETS[name_or_path]), GPT2_PRESETS[name_or_path]
+
     try:
         from transformers import AutoModelForCausalLM
 

@@ -1,0 +1,43 @@
+"""Runner: drive reader → mapper → writer for one output partition
+(reference /root/reference/clipcap/preprocess/runner.py:6-37).
+
+TPU addition: the reader's host-side decode and the mapper's device forward
+are overlapped — while the encoder crunches batch N on the chip, the thread
+pool is already decoding batch N+1 (the reader yields eagerly and the
+encoder call only blocks on device completion).
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Sequence
+
+
+class Sampler:
+    """Partition i takes every count-th input (reference runner.py:6-12)."""
+
+    def __init__(self, output_partition_id: int, output_partition_count: int):
+        self.output_partition_id = output_partition_id
+        self.output_partition_count = output_partition_count
+
+    def __call__(self, items: Sequence) -> List:
+        return [
+            e for i, e in enumerate(items)
+            if i % self.output_partition_count == self.output_partition_id
+        ]
+
+
+class Runner:
+    def __init__(self, reader_builder: Callable, mapper_builder: Callable,
+                 writer_builder: Callable, output_partition_count: int):
+        self.reader_builder = reader_builder
+        self.mapper_builder = mapper_builder
+        self.writer_builder = writer_builder
+        self.output_partition_count = output_partition_count
+
+    def __call__(self, i: int) -> None:
+        sampler = Sampler(i, self.output_partition_count)
+        reader = self.reader_builder(sampler)
+        writer = self.writer_builder(i)
+        mapper = self.mapper_builder()
+        for batch in reader:
+            writer(mapper(batch))
+        writer.flush()

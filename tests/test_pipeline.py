@@ -1,0 +1,178 @@
+"""End-to-end pipeline: fabricate a tiny dataset → preprocess (files and
+webdataset CLIs) → train CLI → load() → caption.  Runs on the virtual CPU
+mesh with the test-scale model presets (SURVEY.md §4c)."""
+import io
+import json
+import os
+import sys
+import tarfile
+from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _make_image_bytes(rng, size=48):
+    from PIL import Image
+
+    arr = (rng.uniform(0, 255, size=(size, size, 3))).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _make_files_dataset(path, n=10):
+    rng = np.random.default_rng(0)
+    path.mkdir(exist_ok=True)
+    for i in range(n):
+        (path / f"sample_{i:03d}.png").write_bytes(_make_image_bytes(rng))
+        (path / f"sample_{i:03d}.txt").write_text(f"a tiny test image number {i}")
+    return str(path)
+
+
+def _make_webdataset(path, n_shards=2, per_shard=6):
+    rng = np.random.default_rng(1)
+    path.mkdir(exist_ok=True)
+    idx = 0
+    for s in range(n_shards):
+        with tarfile.open(path / f"shard-{s:04d}.tar", "w") as tar:
+            for _ in range(per_shard):
+                img = _make_image_bytes(rng)
+                meta = json.dumps({"caption": f"wds caption {idx}"}).encode()
+                for name, data in ((f"{idx:06d}.jpg", img), (f"{idx:06d}.json", meta)):
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    tar.addfile(info, io.BytesIO(data))
+                idx += 1
+    return str(path / ("shard-{0000..%04d}.tar" % (n_shards - 1)))
+
+
+def _run_preprocess(argv):
+    from clipcap_tpu.encoders.args import add_encoder_args
+    from clipcap_tpu.preprocess.args import add_preprocess_args
+    from clipcap_tpu.preprocess.preprocess import preprocess
+
+    parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+    parser = add_preprocess_args(parser)
+    parser = add_encoder_args(parser)
+    return preprocess(parser.parse_args(argv))
+
+
+def test_braceexpand():
+    from clipcap_tpu.utils.braceexpand import braceexpand
+
+    assert list(braceexpand("shard-{0000..0002}.tar")) == [
+        "shard-0000.tar", "shard-0001.tar", "shard-0002.tar"
+    ]
+    assert list(braceexpand("{a,b}/x-{1..2}")) == ["a/x-1", "a/x-2", "b/x-1", "b/x-2"]
+    assert list(braceexpand("plain.tar")) == ["plain.tar"]
+
+
+def test_preprocess_files_and_train_and_caption(tmp_path):
+    import pandas as pd
+    import yaml
+
+    data = _make_files_dataset(tmp_path / "raw", n=10)
+    out = str(tmp_path / "dataset")
+
+    rc = _run_preprocess([
+        "--input-dataset", data, "--output-folder", out,
+        "--input-format", "files", "--batch-size", "4", "--workers", "2",
+        "--encoder-model-name", "clip", "--encoder-model-variant", "test-tiny",
+    ])
+    assert rc == 0
+
+    # Output contract (reference writer.py): embeds npy + captions parquet + yaml
+    embeds = np.load(os.path.join(out, "embeddings", "embeds_0.npy"))
+    caps = pd.read_parquet(os.path.join(out, "captions", "captions_0.parquet"))
+    assert embeds.shape == (10, 32)
+    assert list(caps.columns) == ["caption"]
+    assert len(caps) == 10
+    with open(os.path.join(out, "encoder_config.yaml")) as f:
+        enc_cfg = yaml.safe_load(f)
+    assert enc_cfg["encoder_model_name"] == "clip"
+    assert enc_cfg["encoder_embedding_size"] == 32
+
+    # ---- train CLI on the preprocessed output -----------------------------
+    from clipcap_tpu.models.args import add_model_args
+    from clipcap_tpu.train.args import add_training_args
+    from clipcap_tpu.train.train import train as run_train
+
+    models_out = str(tmp_path / "models")
+    parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+    parser = add_training_args(parser)
+    parser = add_model_args(parser)
+    args = parser.parse_args([
+        "--input-dataset", out, "--output-folder", models_out,
+        "--language-model", "gpt2-test", "--batch-size", "8", "--epochs", "1",
+        "--scheduler-warmup-steps", "1", "--logging-frequency", "1",
+        "--prefix-length", "4", "--projection-length", "4",
+        "--transformer-layers", "2", "--transformer-attention-heads", "4",
+    ])
+    assert run_train(args) == 0
+    assert os.path.exists(os.path.join(models_out, "clipcap_final.npz"))
+    assert os.path.exists(os.path.join(models_out, "clipcap_config.yaml"))
+
+    # ---- load + caption ----------------------------------------------------
+    import jax.numpy as jnp
+
+    from clipcap_tpu.inference.generate import generate
+    from clipcap_tpu.models.clipcap import load
+    from clipcap_tpu.utils.tokenizer import ByteTokenizer
+
+    model, _tok = load(
+        os.path.join(models_out, "clipcap_final.npz"),
+        os.path.join(models_out, "clipcap_config.yaml"),
+    )
+    tok = ByteTokenizer()  # deterministic offline tokenizer
+    captions = generate(model, tok, jnp.asarray(embeds[:1]), number_to_generate=2, seed=0)
+    assert len(captions) == 2
+    assert all(isinstance(c, str) for c in captions)
+
+
+def test_preprocess_webdataset(tmp_path):
+    import pandas as pd
+
+    pattern = _make_webdataset(tmp_path / "shards")
+    out = str(tmp_path / "wds_dataset")
+
+    rc = _run_preprocess([
+        "--input-dataset", pattern, "--output-folder", out,
+        "--input-format", "webdataset", "--batch-size", "5", "--workers", "2",
+        "--wds-media-key", "jpg", "--wds-caption-key", "json/caption",
+        "--wds-samples-per-file", "6",
+        "--encoder-model-name", "clip", "--encoder-model-variant", "test-tiny",
+    ])
+    assert rc == 0
+    embeds = np.load(os.path.join(out, "embeddings", "embeds_0.npy"))
+    caps = pd.read_parquet(os.path.join(out, "captions", "captions_0.parquet"))
+    assert embeds.shape == (12, 32)
+    assert caps["caption"].tolist() == [f"wds caption {i}" for i in range(12)]
+
+
+def test_preprocess_windowed_files(tmp_path):
+    """Windowed embeddings: [N, window+1, E] layout (reference clip.py:96-99)."""
+    data = _make_files_dataset(tmp_path / "raw", n=4)
+    out = str(tmp_path / "win_dataset")
+
+    rc = _run_preprocess([
+        "--input-dataset", data, "--output-folder", out,
+        "--input-format", "files", "--batch-size", "2", "--workers", "1",
+        "--encoder-model-name", "clip", "--encoder-model-variant", "test-tiny",
+        "--use-windowed-embeddings", "true", "--window-size", "4",
+    ])
+    assert rc == 0
+    embeds = np.load(os.path.join(out, "embeddings", "embeds_0.npy"))
+    assert embeds.shape == (4, 5, 32)  # global + 4 tiles
+
+
+def test_sampler_partitions():
+    from clipcap_tpu.preprocess.runner import Sampler
+
+    items = list(range(10))
+    parts = [Sampler(i, 3)(items) for i in range(3)]
+    assert parts[0] == [0, 3, 6, 9]
+    assert parts[1] == [1, 4, 7]
+    assert sorted(sum(parts, [])) == items
