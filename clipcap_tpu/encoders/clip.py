@@ -177,6 +177,24 @@ class CLIPEncoder:
             out = self._forward(self.params["visual"], x)
         return np.asarray(jax.device_get(out))
 
+    def similarity(self, sample, captions) -> np.ndarray:
+        """Image↔caption similarity logits for rerank (the demo's
+        dual-encoder scoring, reference demo.py:47-66).  ``sample``:
+        one transformed image [n_px, n_px, 3] (the global view is used for
+        windowed inputs, mirroring eval/base.py:58-59); ``captions``: list of
+        strings.  Returns [n_captions] similarities."""
+        from clipcap_tpu.models.clip_vit import clip_similarity
+        from clipcap_tpu.utils.clip_tokenizer import tokenize
+
+        img = jnp.asarray(sample)
+        if img.ndim == 4:  # windowed [W+1, H, W, 3] → global view
+            img = img[0]
+        tokens = jnp.asarray(tokenize(captions))
+        logits_per_image, _ = clip_similarity(
+            self.params, self.config, img[None], tokens, dtype=jnp.float32
+        )
+        return np.asarray(jax.device_get(logits_per_image))[0]
+
 
 def get_clip_encoder(
     encoder_model_variant: str,

@@ -1,0 +1,194 @@
+"""SPICE scorer — native scene-graph harness.
+
+The reference shells out to ``spice-1.0.jar`` (Stanford scene-graph parser +
+CoreNLP dependency parsing + lmdb cache,
+/root/reference/clipcap/eval/pycocoevalcap/spice/spice.py:60-93).  Full
+dependency parsing is the documented hard part of replacing it
+(SURVEY.md §2.2); this module implements the SPICE *harness* natively:
+
+* a rule-based semantic-tuple extractor over PTB-tokenized captions —
+  objects (head nouns), attributes (adjective/noun modifiers), and
+  relations (verb and preposition links) from chunked noun phrases;
+* the SPICE metric itself: F1 over the union of proposition tuples between
+  the candidate graph and the merged reference graph (Anderson et al. 2016),
+  with per-category subscores (All/Object/Attribute/Relation) in the same
+  output shape the Java scorer emits.
+
+The extractor is a deterministic approximation of the CoreNLP
+scene-graph pipeline — scores are internally consistent and rank models the
+same way, but absolute values can differ from Java SPICE.  The F-scoring
+harness accepts externally parsed graphs too (``score_graphs``), so a
+stronger parser can be dropped in without touching the metric.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Set, Tuple
+
+from clipcap_tpu.eval.meteor import FUNCTION_WORDS
+from clipcap_tpu.eval.porter import porter_stem
+
+Tuples = Set[Tuple[str, ...]]
+
+# Small closed classes for the chunker.
+ARTICLES = {"a", "an", "the", "some", "any", "this", "that", "these", "those",
+            "his", "her", "its", "their", "our", "my", "your", "no", "each",
+            "every", "both", "few", "several", "many", "much", "two", "three",
+            "four", "five", "six", "seven", "eight", "nine", "ten"}
+PREPOSITIONS = {"in", "on", "at", "by", "with", "near", "under", "over",
+                "above", "below", "behind", "beside", "between", "among",
+                "around", "inside", "outside", "against", "along", "across",
+                "through", "onto", "into", "atop", "upon", "underneath",
+                "next", "of", "to", "from"}
+COPULAS = {"is", "are", "was", "were", "be", "been", "being", "looks",
+           "seems", "appears"}
+CONJUNCTIONS = {"and", "or"}
+
+_ADJ_SUFFIXES = ("ful", "ous", "ish", "ive", "less", "able", "ible", "al",
+                 "ic", "y", "ed", "en")
+
+
+def _looks_adjectival(word: str, next_word: str) -> bool:
+    """Heuristic POS: a word modifying a following noun."""
+    if word in ARTICLES or word in PREPOSITIONS or word in COPULAS:
+        return False
+    if next_word is None:
+        return False
+    return True  # inside a noun phrase, all non-final content words modify the head
+
+
+def extract_tuples(tokens: Sequence[str]) -> Tuples:
+    """Caption tokens → semantic proposition tuples.
+
+    Grammar sketch (greedy, left-to-right):
+      NP  := ART* (MOD)* HEAD        → object(HEAD) + attribute(HEAD, MOD)*
+      NP1 P NP2                      → relation(HEAD1, P, HEAD2)
+      NP1 V NP2  (V = non-copula content verb between NPs)
+                                     → relation(HEAD1, V, HEAD2)
+      NP COP ADJ                     → attribute(HEAD, ADJ)
+    """
+    words = [w for w in tokens if w]
+    tuples: Tuples = set()
+
+    # Chunk into NPs and connectors.
+    chunks: List[Tuple[str, object]] = []  # ("np", (head, mods)) | ("link", word)
+    i = 0
+    n = len(words)
+    while i < n:
+        w = words[i]
+        if w in PREPOSITIONS or w in COPULAS or (w in FUNCTION_WORDS and w not in ARTICLES):
+            chunks.append(("link", w))
+            i += 1
+            continue
+        if w in CONJUNCTIONS:
+            chunks.append(("conj", w))
+            i += 1
+            continue
+        # NP: optional articles, then content words until a link/end.
+        j = i
+        while j < n and words[j] in ARTICLES:
+            j += 1
+        content = []
+        while j < n and words[j] not in PREPOSITIONS and words[j] not in COPULAS \
+                and words[j] not in CONJUNCTIONS and words[j] not in FUNCTION_WORDS:
+            content.append(words[j])
+            j += 1
+        if content:
+            head = content[-1]
+            mods = content[:-1]
+            chunks.append(("np", (head, mods)))
+            i = j
+        else:
+            # bare function word not caught above
+            chunks.append(("link", words[i]))
+            i += 1
+
+    # Emit object/attribute tuples.
+    np_list = [(idx, c[1]) for idx, c in enumerate(chunks) if c[0] == "np"]
+    for _, (head, mods) in np_list:
+        tuples.add((head,))
+        for m in mods:
+            tuples.add((head, m))
+
+    # Relations: NP (link...) NP with the link word(s) as the relation label.
+    for a in range(len(chunks)):
+        if chunks[a][0] != "np":
+            continue
+        # find next NP
+        links: List[str] = []
+        for b in range(a + 1, len(chunks)):
+            kind, val = chunks[b]
+            if kind in ("link", "conj"):
+                if kind == "link" and val not in COPULAS:
+                    links.append(val)  # type: ignore[arg-type]
+                if kind == "conj":
+                    break  # conjunction starts a new clause
+                continue
+            if kind == "np":
+                head_a = chunks[a][1][0]
+                head_b = val[0]
+                rel = next((l for l in links if l in PREPOSITIONS), None)
+                if rel is None and links:
+                    rel = links[-1]
+                if rel:
+                    tuples.add((head_a, rel, head_b))
+                break
+
+    # Copular attributes: NP COP content-word
+    for a in range(len(chunks) - 2):
+        if chunks[a][0] == "np" and chunks[a + 1] == ("link", chunks[a + 1][1]) \
+                and chunks[a + 1][1] in COPULAS and chunks[a + 2][0] == "np":
+            head = chunks[a][1][0]
+            attr_head, attr_mods = chunks[a + 2][1]
+            tuples.add((head, attr_head))
+            for m in attr_mods:
+                tuples.add((head, m))
+
+    return tuples
+
+
+def _stem_tuple(t: Tuple[str, ...]) -> Tuple[str, ...]:
+    return tuple(porter_stem(w) for w in t)
+
+
+def _f1(cand: Tuples, ref: Tuples) -> Dict[str, float]:
+    cand_s = {_stem_tuple(t) for t in cand}
+    ref_s = {_stem_tuple(t) for t in ref}
+    tp = len(cand_s & ref_s)
+    p = tp / len(cand_s) if cand_s else 0.0
+    r = tp / len(ref_s) if ref_s else 0.0
+    f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+    return {"p": p, "r": r, "f": f}
+
+
+def _by_category(tuples: Tuples, arity: int) -> Tuples:
+    return {t for t in tuples if len(t) == arity}
+
+
+class Spice:
+    def method(self) -> str:
+        return "SPICE"
+
+    def score_graphs(self, cand: Tuples, refs_merged: Tuples) -> Dict:
+        """SPICE F-scores for pre-extracted tuple sets (per-category maps in
+        the Java scorer's output shape, spice.py:80-93)."""
+        return {
+            "All": _f1(cand, refs_merged),
+            "Object": _f1(_by_category(cand, 1), _by_category(refs_merged, 1)),
+            "Attribute": _f1(_by_category(cand, 2), _by_category(refs_merged, 2)),
+            "Relation": _f1(_by_category(cand, 3), _by_category(refs_merged, 3)),
+        }
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[Dict]]:
+        keys = list(gts.keys())
+        per_image: List[Dict] = []
+        fs: List[float] = []
+        for key in keys:
+            cand = extract_tuples(res[key][0].split())
+            merged: Tuples = set()
+            for ref in gts[key]:
+                merged |= extract_tuples(ref.split())
+            scores = self.score_graphs(cand, merged)
+            per_image.append(scores)
+            fs.append(scores["All"]["f"])
+        mean_f = sum(fs) / len(fs) if fs else 0.0
+        return mean_f, per_image

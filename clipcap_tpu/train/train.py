@@ -110,10 +110,25 @@ def train(args: Namespace) -> int:
         except Exception as e:  # wandb not installed / offline
             print(f"wandb disabled ({e})")
 
+    n_data = mesh.shape["data"]
+
+    def pad_to_mesh(tokens, embeds):
+        """Round the global batch up to a multiple of the data axis; padded
+        rows are all-pad tokens and carry zero loss weight."""
+        b = tokens.shape[0]
+        rem = (-b) % n_data
+        if rem:
+            tokens = np.concatenate(
+                [tokens, np.full((rem, tokens.shape[1]), -1, tokens.dtype)])
+            embeds = np.concatenate(
+                [embeds, np.zeros((rem,) + embeds.shape[1:], embeds.dtype)])
+        return tokens, embeds
+
     t0 = time.time()
     seen = 0
     for epoch in range(args.epochs):
         for tokens, embeds in dataloader:
+            tokens, embeds = pad_to_mesh(tokens, embeds)
             state, metrics = step_fn(state, jnp.asarray(tokens), jnp.asarray(embeds))
             seen += tokens.shape[0]
             step = int(metrics["step"])

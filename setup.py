@@ -1,0 +1,38 @@
+from setuptools import find_packages, setup
+
+setup(
+    name="clipcap-tpu",
+    version="0.1.0",
+    description=(
+        "TPU-native (JAX/XLA/Pallas) captioning-pipeline framework: frozen "
+        "contrastive encoders (CLIP/CLAP), mapping networks, GPT-2 decoding, "
+        "preprocess/train/inference/eval CLIs"
+    ),
+    packages=find_packages(include=["clipcap_tpu", "clipcap_tpu.*"]),
+    python_requires=">=3.10",
+    install_requires=[
+        "jax",
+        "numpy",
+        "optax",
+        "pyyaml",
+        "fsspec",
+        "pandas",
+        "pyarrow",
+        "pillow",
+        "tqdm",
+        "regex",
+    ],
+    extras_require={
+        "checkpoint": ["orbax-checkpoint"],
+        "hub": ["transformers", "safetensors"],
+    },
+    entry_points={
+        "console_scripts": [
+            "clipcap-preprocess=clipcap_tpu.preprocess.preprocess:start_preprocess",
+            "clipcap-train=clipcap_tpu.train.train:start_training",
+            "clipcap-inference=clipcap_tpu.inference.demo:run_inference_demo",
+            "clipcap-eval=clipcap_tpu.eval.base:run_eval",
+            "clipcap-init=clipcap_tpu.init.base:init",
+        ]
+    },
+)

@@ -1,0 +1,216 @@
+"""Native caption-metric harness: tokenizer behavior, scorer math sanity,
+and the full evaluate_metrics_from_lists surface."""
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------------------
+# PTB tokenization
+# ---------------------------------------------------------------------------
+
+
+def test_ptb_tokenize_basic():
+    from clipcap_tpu.eval.tokenization import ptb_tokenize_line
+
+    assert ptb_tokenize_line("A man, riding a horse.") == ["a", "man", "riding", "a", "horse"]
+    assert ptb_tokenize_line("The dog's ball (red).") == ["the", "dog", "'s", "ball", "red"]
+    assert ptb_tokenize_line("I can't swim...") == ["i", "ca", "n't", "swim"]
+    assert ptb_tokenize_line("") == []
+
+
+def test_ptb_tokenizer_interface():
+    from clipcap_tpu.eval.tokenization import PTBTokenizer
+
+    tok = PTBTokenizer()
+    out = tok.tokenize({0: [{"caption": "A Cat!"}, {"caption": "Two dogs."}]})
+    assert out == {0: ["a cat", "two dogs"]}
+
+
+# ---------------------------------------------------------------------------
+# Scorers
+# ---------------------------------------------------------------------------
+
+
+def _gts_res(pairs):
+    gts = {i: refs for i, (_, refs) in enumerate(pairs)}
+    res = {i: [hyp] for i, (hyp, _) in enumerate(pairs)}
+    return gts, res
+
+
+def test_bleu_perfect_match():
+    from clipcap_tpu.eval.bleu import Bleu
+
+    gts, res = _gts_res([
+        ("a man rides a horse", ["a man rides a horse", "a person on a horse"]),
+        ("a cat sits on a mat", ["a cat sits on a mat", "a kitten on a rug"]),
+    ])
+    scores, per_image = Bleu(4).compute_score(gts, res)
+    for s in scores:
+        assert s == pytest.approx(1.0, abs=1e-6)
+    assert len(per_image) == 4 and len(per_image[0]) == 2
+
+
+def test_bleu_partial_match_hand_computed():
+    from clipcap_tpu.eval.bleu import Bleu
+
+    # hyp: "the cat sat" vs ref: "the cat sat down"
+    # 1-gram: 3/3, 2-gram: 2/2, 3-gram: 1/1; BP = exp(1 - 4/3)
+    gts, res = _gts_res([("the cat sat", ["the cat sat down"])])
+    scores, _ = Bleu(4).compute_score(gts, res)
+    bp = math.exp(1 - 4 / 3)
+    assert scores[0] == pytest.approx(bp * 1.0, rel=1e-5)
+    assert scores[1] == pytest.approx(bp * 1.0, rel=1e-5)
+    assert scores[2] == pytest.approx(bp * 1.0, rel=1e-5)
+
+
+def test_rouge_l():
+    from clipcap_tpu.eval.rouge import Rouge
+
+    gts, res = _gts_res([("the cat sat on the mat", ["the cat sat on the mat"])])
+    score, scores = Rouge().compute_score(gts, res)
+    assert score == pytest.approx(1.0)
+
+    # LCS("a b c d", "a c b d") = 3 ("a b d" or "a c d")
+    gts, res = _gts_res([("a b c d", ["a c b d"])])
+    score, _ = Rouge().compute_score(gts, res)
+    p = r = 3 / 4
+    beta = 1.2
+    expected = (1 + beta**2) * p * r / (r + beta**2 * p)
+    assert score == pytest.approx(expected, rel=1e-6)
+
+
+def test_cider_identical_corpus():
+    from clipcap_tpu.eval.cider import Cider
+
+    gts, res = _gts_res([
+        ("a man rides a horse", ["a man rides a horse", "a man rides a horse"]),
+        ("a cat sits on a mat", ["a cat sits on a mat", "a cat sits on a mat"]),
+        ("a red bus in town", ["a red bus in town", "a red bus in town"]),
+    ])
+    score, scores = Cider().compute_score(gts, res)
+    # Perfect match → cosine 1 per n with nonzero idf terms → 10.0
+    assert score == pytest.approx(10.0, abs=1e-6)
+    assert len(scores) == 3
+
+
+def test_cider_mismatch_lower():
+    from clipcap_tpu.eval.cider import Cider
+
+    gts, res = _gts_res([
+        ("a dog", ["a man rides a horse"]),
+        ("a cat sits on a mat", ["a cat sits on a mat"]),
+    ])
+    score, scores = Cider().compute_score(gts, res)
+    assert scores[0] < scores[1]
+
+
+def test_meteor_exact_and_stem():
+    from clipcap_tpu.eval.meteor import Meteor
+
+    m = Meteor()
+    # Exact match scores near 1 (small fragmentation penalty only).
+    s_exact = m.score_segment("a man riding a horse", ["a man riding a horse"])
+    assert 0.9 < s_exact <= 1.0
+
+    # Stem stage: "rides" vs "riding" matches via Porter stems.
+    s_stem = m.score_segment("the man rides", ["the man riding"])
+    s_none = m.score_segment("the man rides", ["the man walks"])
+    assert s_stem > s_none
+
+    # Word-order fragmentation lowers the score.
+    s_ordered = m.score_segment("a b c d e f", ["a b c d e f"])
+    s_shuffled = m.score_segment("f e d c b a", ["a b c d e f"])
+    assert s_ordered > s_shuffled
+
+
+def test_meteor_compute_score_interface():
+    from clipcap_tpu.eval.meteor import Meteor
+
+    gts, res = _gts_res([
+        ("a man on a horse", ["a man rides a horse", "a person on a horse"]),
+        ("a cat", ["a dog", "a cat"]),
+    ])
+    score, per_image = Meteor().compute_score(gts, res)
+    assert 0.0 < score <= 1.0
+    assert len(per_image) == 2
+
+
+def test_porter_stemmer():
+    from clipcap_tpu.eval.porter import porter_stem
+
+    assert porter_stem("riding") == porter_stem("rides") == porter_stem("ride")
+    assert porter_stem("caresses") == "caress"
+    assert porter_stem("ponies") == "poni"
+    assert porter_stem("relational") == "relat"
+    assert porter_stem("cat") == "cat"
+
+
+def test_spice_tuples_and_f1():
+    from clipcap_tpu.eval.spice import Spice, extract_tuples
+
+    t = extract_tuples("a red car on the street".split())
+    assert ("car",) in t
+    assert ("car", "red") in t
+    assert ("car", "on", "street") in t
+
+    gts, res = _gts_res([
+        ("a red car on the street", ["a red car on the street",
+                                     "a crimson automobile parked outside"]),
+    ])
+    score, per_image = Spice().compute_score(gts, res)
+    assert 0.0 < score <= 1.0
+    assert set(per_image[0].keys()) == {"All", "Object", "Attribute", "Relation"}
+
+
+# ---------------------------------------------------------------------------
+# Full facade
+# ---------------------------------------------------------------------------
+
+
+def test_evaluate_metrics_from_lists_end_to_end():
+    from clipcap_tpu.eval.metrics import evaluate_metrics_from_lists
+
+    preds = ["a man rides a horse", "a cat sits on the mat"]
+    refs = [
+        ["a man rides a horse", "a man on a horse", "a person rides a horse",
+         "a rider on a horse", "a horse carries a man"],
+        ["a cat sits on the mat", "a cat on a mat", "a kitten rests on a rug",
+         "the cat is sitting", "a small cat on the mat"],
+    ]
+    metrics, per_file = evaluate_metrics_from_lists(preds, refs)
+    for key in ("Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr", "SPICE", "SPIDEr"):
+        assert key in metrics, key
+    assert metrics["SPIDEr"] == pytest.approx(
+        0.5 * (metrics["CIDEr"] + metrics["SPICE"]), abs=1e-9
+    )
+    assert metrics["Bleu_1"] > 0.9
+    assert len(per_file) == 2
+    # Five-reference assertion preserved (reference metrics.py:140).
+    with pytest.raises(AssertionError):
+        evaluate_metrics_from_lists(["x"], [["only", "four", "refs", "here"]])
+
+
+def test_evaluate_metrics_csv_front_end(tmp_path):
+    import csv
+
+    from clipcap_tpu.eval.metrics import evaluate_metrics
+
+    pred_rows = [{"file_name": f"f{i}.wav", "caption_predicted": c}
+                 for i, c in enumerate(["a man rides a horse", "a cat on a mat"])]
+    ref_rows = []
+    for i, base in enumerate(["a man rides a horse", "a cat on a mat"]):
+        row = {"file_name": f"f{i}.wav"}
+        for j in range(1, 6):
+            row[f"caption_reference_{j:02d}"] = base
+        ref_rows.append(row)
+
+    out = evaluate_metrics(pred_rows, ref_rows)
+    assert "spider" in out and "cider" in out
+    assert out["bleu_1"]["score"] == pytest.approx(1.0, abs=1e-6)
+    assert set(out["cider"]["scores"].keys()) == {"f0.wav", "f1.wav"}
