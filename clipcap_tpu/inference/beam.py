@@ -124,3 +124,26 @@ def beam_search(
 
     final_scores = scores / seq_lengths  # base.py:121
     return BeamResult(tokens=tokens, seq_lengths=seq_lengths, scores=final_scores)
+
+
+@partial(jax.jit, static_argnames=("cfg", "bp", "dtype", "precision"))
+def beam_search_batched(
+    params,
+    cfg: GPT2Config,
+    prefix_embeds: Array,  # [N, P, D] — one beam search per row
+    bp: BeamParams,
+    dtype=jnp.bfloat16,
+    precision=None,
+) -> BeamResult:
+    """Throughput path: N independent beam searches in ONE XLA program.
+
+    Decode on TPU is HBM-bandwidth-bound — every step re-reads the LM
+    weights — so batching searches amortizes the weight traffic across
+    samples (the single-sample path pays the full weight read per caption).
+    This is the serving-side replacement for looping ``beam_search``;
+    results are identical per row.  Implemented with ``jax.vmap`` so the
+    semantics stay defined by the single-sample function above.
+    """
+    fn = partial(beam_search.__wrapped__, params, cfg, bp=bp, dtype=dtype,
+                 precision=precision)
+    return jax.vmap(lambda pe: fn(pe[None]))(prefix_embeds)

@@ -229,3 +229,27 @@ def test_beam_parity_vs_reference_semantics(tiny):
     np.testing.assert_array_equal(got_tokens[:, :T], ref_tokens)
     np.testing.assert_allclose(np.asarray(res.scores), ref_scores, atol=1e-4)
     np.testing.assert_allclose(np.asarray(res.seq_lengths), ref_lens, atol=1e-6)
+
+
+def test_beam_search_batched_matches_single():
+    """Throughput path (one XLA program for N searches) must be result-
+    identical to the single-sample beam."""
+    import jax.numpy as jnp
+
+    from clipcap_tpu.inference.beam import BeamParams, beam_search, beam_search_batched
+    from clipcap_tpu.models.gpt2 import GPT2Config, init_gpt2
+
+    cfg = GPT2Config(vocab_size=211, n_positions=64, n_embd=32, n_layer=2,
+                     n_head=4, name="t")
+    params = init_gpt2(cfg)
+    bp = BeamParams(beam_size=3, max_new_tokens=10, stop_token=5)
+    rng = np.random.default_rng(0)
+    pre = jnp.asarray(rng.normal(size=(4, 6, 32)), jnp.float32)
+
+    batched = beam_search_batched(params, cfg, pre, bp, dtype=jnp.float32)
+    for i in range(4):
+        single = beam_search(params, cfg, pre[i : i + 1], bp, dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(batched.tokens[i]),
+                                      np.asarray(single.tokens))
+        np.testing.assert_allclose(np.asarray(batched.scores[i]),
+                                   np.asarray(single.scores), rtol=1e-5)
