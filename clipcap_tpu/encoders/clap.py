@@ -1,0 +1,114 @@
+"""CLAP audio encoder: host-side audio transform + batched jitted forward.
+
+Reference parity (/root/reference/clipcap/encoders/clap.py) with its shipped
+bugs fixed rather than ported (SURVEY.md §"bugs"):
+* ``get_clap_encoder`` raises NameError on undefined ``model_id`` /
+  ``use_windowed_embeddings`` (clap.py:136,152) — fixed signature here;
+* ``CLAPTransform`` mixes to mono by averaging the *frame* axis
+  (clap.py:80) — here the channel axis is averaged.
+
+Host/device split: decode + mono + resample on host threads (numpy sinc
+resampler — no torchaudio), fixed 10 s crop/pad for static shapes; the
+log-mel frontend and the HTSAT swin forward run as one jitted program on
+device (clipcap_tpu.models.htsat).
+"""
+from __future__ import annotations
+
+import io
+import warnings
+from functools import partial
+from typing import Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clipcap_tpu.models.htsat import HTSATConfig, clap_audio_embedding, load_clap
+from clipcap_tpu.ops.audio import (
+    CLAP_CLIP_SAMPLES,
+    CLAP_SAMPLE_RATE,
+    load_audio,
+    resample,
+    to_mono,
+)
+
+
+class CLAPTransform:
+    """file/BytesIO → float32 waveform [CLAP_CLIP_SAMPLES] at 48 kHz.
+
+    Fixed-length output (10 s crop / zero-pad) so batches have static
+    shapes; the reference returns ragged waveforms that break its own
+    batched collate for mixed-length datasets.
+    """
+
+    def __init__(self, sample_rate: int = CLAP_SAMPLE_RATE,
+                 clip_samples: int = CLAP_CLIP_SAMPLES) -> None:
+        self.sample_rate = sample_rate
+        self.clip_samples = clip_samples
+
+    def __call__(self, file: Union[io.BytesIO, str, bytes]) -> np.ndarray:
+        waveform, file_rate = load_audio(file)
+        waveform = to_mono(waveform)
+        if file_rate != self.sample_rate:
+            waveform = resample(waveform, file_rate, self.sample_rate)
+        out = np.zeros((self.clip_samples,), dtype=np.float32)
+        n = min(len(waveform), self.clip_samples)
+        out[:n] = waveform[:n]
+        return out
+
+
+class CLAPEncoder:
+    """Batched audio-embedding forward: [B, samples] → [B, 512] numpy."""
+
+    def __init__(self, params, config: HTSATConfig,
+                 normalize_embeddings: bool = False, dtype=jnp.float32):
+        self.params = params
+        self.config = config
+        self.normalize_embeddings = normalize_embeddings
+        self.embedding_size = config.embedding_dim
+
+        @jax.jit
+        def _forward(params, waveforms):
+            out = clap_audio_embedding(params, config, waveforms, dtype=dtype)
+            if normalize_embeddings:
+                out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+            return out.astype(jnp.float32)
+
+        self._forward = _forward
+
+    def __call__(self, batch) -> np.ndarray:
+        return np.asarray(jax.device_get(self._forward(self.params, jnp.asarray(batch))))
+
+    def similarity(self, sample, captions) -> np.ndarray:
+        """Audio↔caption rerank signal. The CLAP text tower (RoBERTa) is not
+        implemented; returns zeros so rerank degrades to first-candidate
+        (with a warning) instead of crashing — the reference demo's CLAP
+        rerank path is itself unreachable (its loader raises first)."""
+        warnings.warn(
+            "CLAP text tower not implemented — rerank similarities are zeros "
+            "(first candidate wins)."
+        )
+        return np.zeros((len(captions),), dtype=np.float32)
+
+
+def get_clap_encoder(
+    encoder_model_variant: str = "HTSAT-tiny",
+    normalize_embeddings: bool = False,
+    checkpoint_path: Optional[str] = None,
+    dtype=jnp.float32,
+    **_ignored,
+) -> Tuple[Callable, Callable]:
+    """Fixed version of the reference's broken loader (clap.py:133-158):
+    returns ``(model, transform)``."""
+    from clipcap_tpu.models.htsat import CLAP_PRESETS
+
+    if encoder_model_variant not in CLAP_PRESETS:
+        # The reference ignores --encoder-model-variant for CLAP entirely
+        # (its CLI default is a CLIP variant string); map unknowns to the
+        # standard audio model.
+        encoder_model_variant = "HTSAT-tiny"
+    params, config = load_clap(encoder_model_variant, checkpoint_path)
+    transform = CLAPTransform()
+    model = CLAPEncoder(params, config,
+                        normalize_embeddings=normalize_embeddings, dtype=dtype)
+    return model, transform

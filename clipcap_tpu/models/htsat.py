@@ -1,0 +1,471 @@
+"""HTS-AT audio transformer (the CLAP audio tower) in pure JAX.
+
+Capability parity with the reference's CLAP encoder, which wraps
+``laion_clap.CLAP_Module`` (/root/reference/clipcap/encoders/clap.py:134-147
+— shipped broken: undefined ``model_id``/``use_windowed_embeddings``
+NameErrors, clap.py:136,152; fixed here, not ported).  The audio branch is
+HTS-AT (Chen et al. 2022): a swin transformer over a log-mel "image".
+
+Pipeline (HTSAT-tiny / CLAP audio config):
+  48 kHz mono → log-mel [T≈1001, 64] → per-mel-bin batch-norm →
+  time/freq fold to a 256×256 image (freq_ratio 4) → 4×4 patch embed
+  (dim 96) → swin stages depths [2,2,6,2], heads [4,8,16,32], window 8,
+  relative position bias, shifted windows → final norm → token mean-pool
+  (768) → CLAP audio projection MLP (768→512→512).
+
+Weight import maps ``laion_clap`` checkpoint keys (``audio_branch.*``,
+``audio_projection.*``).  Fusion checkpoints (``enable_fusion=True``) load
+their shared trunk; the fusion-specific branches (mel_conv2d/AFF) apply
+only to >10 s audio and are not implemented — long audio is truncated to
+the 10 s training window (documented divergence).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clipcap_tpu.ops.audio import (
+    CLAP_CLIP_SAMPLES,
+    CLAP_SAMPLE_RATE,
+    log_mel_spectrogram,
+)
+from clipcap_tpu.ops.layers import layer_norm, linear
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+NEG_INF = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class HTSATConfig:
+    spec_size: int = 256
+    patch_size: int = 4
+    in_chans: int = 1
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    freq_ratio: int = 4
+    n_mels: int = 64
+    embedding_dim: int = 512   # CLAP joint space
+    latent_dim: int = 768      # embed_dim * 2**(n_stages-1)
+    name: str = "HTSAT-tiny"
+
+
+CLAP_PRESETS = {
+    "HTSAT-tiny": HTSATConfig(),
+    # test-scale preset: tiny swin for integration tests / smoke runs
+    "test-tiny": HTSATConfig(spec_size=64, embed_dim=16, depths=(1, 1),
+                             heads=(2, 4), window_size=4, freq_ratio=4,
+                             latent_dim=32, embedding_dim=16, name="test-tiny"),
+}
+
+
+def get_htsat_config(variant: str) -> HTSATConfig:
+    if variant in CLAP_PRESETS:
+        return CLAP_PRESETS[variant]
+    raise ValueError(f"unknown CLAP audio variant '{variant}'. Known: {sorted(CLAP_PRESETS)}")
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _trunc_normal(rng, shape, std=0.02):
+    return jnp.asarray(np.clip(rng.normal(0, std, size=shape), -2 * std, 2 * std)
+                       .astype(np.float32))
+
+
+def init_htsat(cfg: HTSATConfig, seed: int = 0) -> Params:
+    rng = np.random.default_rng(seed)
+    n_stages = len(cfg.depths)
+    ws = cfg.window_size
+
+    def ln(n):
+        return {"scale": jnp.ones((n,), jnp.float32), "bias": jnp.zeros((n,), jnp.float32)}
+
+    params: Params = {
+        "bn0": {"scale": jnp.ones((cfg.n_mels,), jnp.float32),
+                "bias": jnp.zeros((cfg.n_mels,), jnp.float32),
+                "mean": jnp.zeros((cfg.n_mels,), jnp.float32),
+                "var": jnp.ones((cfg.n_mels,), jnp.float32)},
+        "patch_embed": {
+            "proj": {"w": _trunc_normal(rng, (cfg.patch_size * cfg.patch_size * cfg.in_chans,
+                                              cfg.embed_dim)),
+                     "b": jnp.zeros((cfg.embed_dim,), jnp.float32)},
+            "norm": ln(cfg.embed_dim),
+        },
+        "stages": [],
+        "norm": ln(cfg.embed_dim * 2 ** (n_stages - 1)),
+        "audio_projection": {
+            "fc1": {"w": _trunc_normal(rng, (cfg.latent_dim, cfg.embedding_dim)),
+                    "b": jnp.zeros((cfg.embedding_dim,), jnp.float32)},
+            "fc2": {"w": _trunc_normal(rng, (cfg.embedding_dim, cfg.embedding_dim)),
+                    "b": jnp.zeros((cfg.embedding_dim,), jnp.float32)},
+        },
+    }
+
+    for s in range(n_stages):
+        dim = cfg.embed_dim * 2 ** s
+        heads = cfg.heads[s]
+        blocks = []
+        for _ in range(cfg.depths[s]):
+            blocks.append({
+                "norm1": ln(dim),
+                "attn": {
+                    "qkv": {"w": _trunc_normal(rng, (dim, 3 * dim)),
+                            "b": jnp.zeros((3 * dim,), jnp.float32)},
+                    "proj": {"w": _trunc_normal(rng, (dim, dim)),
+                             "b": jnp.zeros((dim,), jnp.float32)},
+                    "rel_bias": _trunc_normal(rng, ((2 * ws - 1) ** 2, heads)),
+                },
+                "norm2": ln(dim),
+                "mlp": {
+                    "fc1": {"w": _trunc_normal(rng, (dim, int(dim * cfg.mlp_ratio))),
+                            "b": jnp.zeros((int(dim * cfg.mlp_ratio),), jnp.float32)},
+                    "fc2": {"w": _trunc_normal(rng, (int(dim * cfg.mlp_ratio), dim)),
+                            "b": jnp.zeros((dim,), jnp.float32)},
+                },
+            })
+        stage: Params = {"blocks": blocks}
+        if s < n_stages - 1:
+            stage["downsample"] = {
+                "norm": ln(4 * dim),
+                "reduction": {"w": _trunc_normal(rng, (4 * dim, 2 * dim))},
+            }
+        params["stages"].append(stage)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Swin pieces
+# ---------------------------------------------------------------------------
+
+
+def _rel_position_index(ws: int) -> np.ndarray:
+    """Standard swin relative-position index [ws², ws²]."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+def _window_partition(x: Array, ws: int) -> Array:
+    """[B, H, W, C] → [B·nW, ws², C]"""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, C)
+
+
+def _window_reverse(windows: Array, ws: int, H: int, W: int) -> Array:
+    B = windows.shape[0] // (H * W // ws // ws)
+    x = windows.reshape(B, H // ws, W // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, -1)
+
+
+def _shift_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
+    """Attention mask for shifted windows: [nW, ws², ws²] additive.
+    Pure numpy — a host-side constant baked into the compiled program."""
+    img = np.zeros((H, W))
+    cnt = 0
+    for h in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for w in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[h, w] = cnt
+            cnt += 1
+    win = img.reshape(H // ws, ws, W // ws, ws).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, ws * ws)
+    mask = win[:, None, :] - win[:, :, None]
+    return np.where(mask != 0, NEG_INF, 0.0).astype(np.float32)
+
+
+def _swin_block(x: Array, block: Params, H: int, W: int, heads: int, ws: int,
+                shift: int, dtype, precision) -> Array:
+    B, N, C = x.shape
+    Dh = C // heads
+
+    h = layer_norm(x, block["norm1"]["scale"], block["norm1"]["bias"])
+    h = h.reshape(B, H, W, C)
+    if shift > 0:
+        h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+    windows = _window_partition(h, ws)  # [B·nW, ws², C]
+
+    qkv = linear(windows, block["attn"]["qkv"]["w"], block["attn"]["qkv"]["b"], precision)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    nW = windows.shape[0]
+    M = ws * ws
+    q = q.reshape(nW, M, heads, Dh)
+    k = k.reshape(nW, M, heads, Dh)
+    v = v.reshape(nW, M, heads, Dh)
+    logits = jnp.einsum("wnhd,wmhd->whnm", q, k, precision=precision) * (Dh ** -0.5)
+    logits = logits.astype(jnp.float32)
+
+    idx = _rel_position_index(ws)
+    bias = block["attn"]["rel_bias"][jnp.asarray(idx.reshape(-1))]
+    bias = bias.reshape(M, M, heads).transpose(2, 0, 1)  # [heads, M, M]
+    logits = logits + bias[None].astype(jnp.float32)
+
+    if shift > 0:
+        mask = jnp.asarray(_shift_mask(H, W, ws, shift))  # [nW_img, M, M]
+        n_img_windows = mask.shape[0]
+        logits = logits.reshape(B, n_img_windows, heads, M, M)
+        logits = logits + mask[None, :, None]
+        logits = logits.reshape(nW, heads, M, M)
+
+    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    attn = jnp.einsum("whnm,wmhd->wnhd", weights, v, precision=precision)
+    attn = attn.reshape(nW, M, C)
+    attn = linear(attn, block["attn"]["proj"]["w"], block["attn"]["proj"]["b"], precision)
+
+    attn = _window_reverse(attn, ws, H, W)
+    if shift > 0:
+        attn = jnp.roll(attn, (shift, shift), axis=(1, 2))
+    x = x + attn.reshape(B, N, C)
+
+    h = layer_norm(x, block["norm2"]["scale"], block["norm2"]["bias"])
+    h = linear(h, block["mlp"]["fc1"]["w"], block["mlp"]["fc1"]["b"], precision)
+    h = jax.nn.gelu(h, approximate=False)
+    h = linear(h, block["mlp"]["fc2"]["w"], block["mlp"]["fc2"]["b"], precision)
+    return x + h
+
+
+def _patch_merge(x: Array, stage: Params, H: int, W: int, precision) -> Array:
+    """Swin PatchMerging: 2×2 neighbors → LN → linear 4C→2C (bias-free)."""
+    B, N, C = x.shape
+    x = x.reshape(B, H, W, C)
+    x0 = x[:, 0::2, 0::2]
+    x1 = x[:, 1::2, 0::2]
+    x2 = x[:, 0::2, 1::2]
+    x3 = x[:, 1::2, 1::2]
+    x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(B, N // 4, 4 * C)
+    x = layer_norm(x, stage["downsample"]["norm"]["scale"], stage["downsample"]["norm"]["bias"])
+    return linear(x, stage["downsample"]["reduction"]["w"], None, precision)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def reshape_wav2img(x: Array, cfg: HTSATConfig) -> Array:
+    """Fold the mel spectrogram [B, 1, T, F] into a square image
+    [B, 1, freq_ratio·F, T/freq_ratio] (HTS-AT time/freq folding)."""
+    B, C, T, F = x.shape
+    target_T = cfg.spec_size * cfg.freq_ratio
+    target_F = cfg.spec_size // cfg.freq_ratio
+    if T != target_T or F != target_F:
+        x = jax.image.resize(x, (B, C, target_T, target_F), method="bicubic")
+    T, F = target_T, target_F
+    x = jnp.transpose(x, (0, 1, 3, 2))                          # B,C,F,T
+    x = x.reshape(B, C, F, cfg.freq_ratio, T // cfg.freq_ratio)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))                        # B,C,r,F,T'
+    return x.reshape(B, C, cfg.freq_ratio * F, T // cfg.freq_ratio)
+
+
+def htsat_latent(params: Params, cfg: HTSATConfig, mel: Array, *,
+                 dtype=jnp.float32, precision=None) -> Array:
+    """log-mel [B, T, F] → pooled latent [B, latent_dim] (the checkpoint's
+    'embedding' output: token mean-pool of the final normed feature map)."""
+    x = mel.astype(jnp.float32)[:, None]  # B,1,T,F
+
+    # bn0: BatchNorm2d over the mel-bin axis, inference mode (running stats).
+    bn = params["bn0"]
+    x = (x - bn["mean"][None, None, None, :]) * jax.lax.rsqrt(bn["var"][None, None, None, :] + 1e-5)
+    x = x * bn["scale"][None, None, None, :] + bn["bias"][None, None, None, :]
+
+    x = reshape_wav2img(x, cfg)  # B,1,S,S
+    x = x.astype(dtype)
+
+    # patch embed: stride-p conv as patchify + matmul (see clip_vit.patchify)
+    B = x.shape[0]
+    p = cfg.patch_size
+    S = cfg.spec_size
+    img = jnp.transpose(x, (0, 2, 3, 1))  # B,S,S,1
+    gh = gw = S // p
+    patches = img.reshape(B, gh, p, gw, p, cfg.in_chans)
+    patches = patches.transpose(0, 1, 3, 5, 2, 4).reshape(B, gh * gw, cfg.in_chans * p * p)
+    x = linear(patches, params["patch_embed"]["proj"]["w"],
+               params["patch_embed"]["proj"]["b"], precision)
+    x = layer_norm(x, params["patch_embed"]["norm"]["scale"],
+                   params["patch_embed"]["norm"]["bias"])
+
+    H = W = gh
+    ws = cfg.window_size
+    for s, stage in enumerate(params["stages"]):
+        heads = cfg.heads[s]
+        cur_ws = min(ws, H)  # window == resolution → no shift possible
+        for j, block in enumerate(stage["blocks"]):
+            shift = 0 if (j % 2 == 0 or cur_ws == H) else cur_ws // 2
+            x = _swin_block(x, block, H, W, heads, cur_ws, shift, dtype, precision)
+        if "downsample" in stage:
+            x = _patch_merge(x, stage, H, W, precision)
+            H //= 2
+            W //= 2
+
+    x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
+    return jnp.mean(x, axis=1)  # token mean-pool = avgpool of feature map
+
+
+def clap_audio_embedding(params: Params, cfg: HTSATConfig, waveform: Array, *,
+                         dtype=jnp.float32, precision=None) -> Array:
+    """waveform [B, samples] @48 kHz → CLAP joint-space embedding [B, 512].
+
+    Equivalent of ``CLAP_Module.get_audio_embedding_from_data`` (reference
+    clap.py:121): int16 quantization round-trip, 10 s crop/pad, log-mel,
+    HTSAT forward, audio projection MLP.
+    """
+    # laion_clap "int16 trick": quantize to int16 range and back.  Stays in
+    # float (truncation toward zero like the int16 cast) — int16 converts
+    # compile pathologically on TPU.
+    x = jnp.clip(waveform, -1.0, 1.0)
+    x = jnp.trunc(x * 32767.0) / 32767.0
+
+    # fixed 10-second window (fusion path for longer audio not implemented)
+    T = x.shape[1]
+    if T < CLAP_CLIP_SAMPLES:
+        x = jnp.pad(x, ((0, 0), (0, CLAP_CLIP_SAMPLES - T)))
+    elif T > CLAP_CLIP_SAMPLES:
+        x = x[:, :CLAP_CLIP_SAMPLES]
+
+    mel = log_mel_spectrogram(x)  # [B, frames, 64]
+    latent = htsat_latent(params, cfg, mel, dtype=dtype, precision=precision)
+    h = linear(latent, params["audio_projection"]["fc1"]["w"],
+               params["audio_projection"]["fc1"]["b"], precision)
+    h = jnp.maximum(h, 0)
+    return linear(h, params["audio_projection"]["fc2"]["w"],
+                  params["audio_projection"]["fc2"]["b"], precision)
+
+
+# ---------------------------------------------------------------------------
+# Weight import (laion_clap checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def _to_np(x):
+    if hasattr(x, "detach"):
+        return x.detach().cpu().float().numpy()
+    return np.asarray(x)
+
+
+def htsat_params_from_laion_clap(state_dict, cfg: HTSATConfig) -> Params:
+    """Convert a laion_clap checkpoint's audio branch to our pytree.
+
+    Accepts keys with or without the ``module.`` prefix.  Fusion-only
+    tensors (mel_conv2d, fusion_model) are ignored with a warning.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k[len("module."):] if k.startswith("module.") else k
+        sd[k] = _to_np(v)
+
+    fusion_keys = [k for k in sd if "fusion_model" in k or "mel_conv2d" in k]
+    if fusion_keys:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint has {len(fusion_keys)} fusion-branch tensors; the "
+            "fusion path (>10s audio) is not implemented — long audio is "
+            "truncated to the 10s window."
+        )
+
+    A = "audio_branch."
+
+    def ln(key):
+        return {"scale": jnp.asarray(sd[key + ".weight"]),
+                "bias": jnp.asarray(sd[key + ".bias"])}
+
+    conv_w = sd[A + "patch_embed.proj.weight"]  # [D, C, p, p]
+    patch_w = conv_w.reshape(conv_w.shape[0], -1).T
+
+    params: Params = {
+        "bn0": {"scale": jnp.asarray(sd[A + "bn0.weight"]),
+                "bias": jnp.asarray(sd[A + "bn0.bias"]),
+                "mean": jnp.asarray(sd[A + "bn0.running_mean"]),
+                "var": jnp.asarray(sd[A + "bn0.running_var"])},
+        "patch_embed": {
+            "proj": {"w": jnp.asarray(patch_w),
+                     "b": jnp.asarray(sd[A + "patch_embed.proj.bias"])},
+            "norm": ln(A + "patch_embed.norm"),
+        },
+        "stages": [],
+        "norm": ln(A + "norm"),
+        "audio_projection": {
+            "fc1": {"w": jnp.asarray(sd["audio_projection.0.weight"].T),
+                    "b": jnp.asarray(sd["audio_projection.0.bias"])},
+            "fc2": {"w": jnp.asarray(sd["audio_projection.2.weight"].T),
+                    "b": jnp.asarray(sd["audio_projection.2.bias"])},
+        },
+    }
+
+    for s in range(len(cfg.depths)):
+        prefix = f"{A}layers.{s}."
+        blocks = []
+        for j in range(cfg.depths[s]):
+            bp = f"{prefix}blocks.{j}."
+            blocks.append({
+                "norm1": ln(bp + "norm1"),
+                "attn": {
+                    "qkv": {"w": jnp.asarray(sd[bp + "attn.qkv.weight"].T),
+                            "b": jnp.asarray(sd[bp + "attn.qkv.bias"])},
+                    "proj": {"w": jnp.asarray(sd[bp + "attn.proj.weight"].T),
+                             "b": jnp.asarray(sd[bp + "attn.proj.bias"])},
+                    "rel_bias": jnp.asarray(sd[bp + "attn.relative_position_bias_table"]),
+                },
+                "norm2": ln(bp + "norm2"),
+                "mlp": {
+                    "fc1": {"w": jnp.asarray(sd[bp + "mlp.fc1.weight"].T),
+                            "b": jnp.asarray(sd[bp + "mlp.fc1.bias"])},
+                    "fc2": {"w": jnp.asarray(sd[bp + "mlp.fc2.weight"].T),
+                            "b": jnp.asarray(sd[bp + "mlp.fc2.bias"])},
+                },
+            })
+        stage: Params = {"blocks": blocks}
+        if s < len(cfg.depths) - 1:
+            stage["downsample"] = {
+                "norm": ln(prefix + "downsample.norm"),
+                "reduction": {"w": jnp.asarray(sd[prefix + "downsample.reduction.weight"].T)},
+            }
+        params["stages"].append(stage)
+    return params
+
+
+def load_clap(variant: str = "HTSAT-tiny", checkpoint_path: Optional[str] = None):
+    """Resolve CLAP audio weights: local laion_clap checkpoint → random init.
+
+    Returns ``(params, config)``.
+    """
+    import os
+
+    cfg = get_htsat_config(variant)
+    if cfg.name == "test-tiny":
+        return init_htsat(cfg), cfg
+
+    candidates = [checkpoint_path, os.environ.get("CLIPCAP_CLAP_CHECKPOINT")]
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            import torch
+
+            ckpt = torch.load(cand, map_location="cpu", weights_only=False)
+            sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+            return htsat_params_from_laion_clap(sd, cfg), cfg
+
+    import warnings
+
+    warnings.warn(
+        f"No CLAP checkpoint found for '{variant}' (set "
+        "CLIPCAP_CLAP_CHECKPOINT). Using RANDOM weights — fine for smoke "
+        "tests, wrong for real audio captioning."
+    )
+    return init_htsat(cfg), cfg
