@@ -70,6 +70,21 @@ def load_paraphrase_table(path: str) -> Dict[str, Set[str]]:
     return table
 
 
+def get_meteor(synonyms: Optional[Dict[str, Set[str]]] = None,
+               paraphrase_path: Optional[str] = None):
+    """Return the C++ METEOR core when built (exact+stem configuration),
+    else this Python implementation.  Resource-table configurations always
+    use the Python scorer (the native core implements the default stages)."""
+    if synonyms is None and paraphrase_path is None:
+        try:
+            from clipcap_tpu.native import meteor as native
+
+            return native.Meteor()
+        except Exception:
+            pass
+    return Meteor(synonyms=synonyms, paraphrase_path=paraphrase_path)
+
+
 class Meteor:
     def __init__(
         self,

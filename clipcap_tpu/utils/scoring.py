@@ -7,7 +7,7 @@ from typing import Dict, List
 
 from clipcap_tpu.eval.bleu import Bleu
 from clipcap_tpu.eval.cider import Cider
-from clipcap_tpu.eval.meteor import Meteor
+from clipcap_tpu.eval.meteor import get_meteor
 from clipcap_tpu.eval.rouge import Rouge
 from clipcap_tpu.eval.spice import Spice
 from clipcap_tpu.eval.tokenization import get_tokenizer
@@ -24,7 +24,7 @@ def generate_scores(gts: Dict, res: Dict) -> List[Dict]:
     output = []
     scorers = [
         (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
-        (Meteor(), "METEOR"),
+        (get_meteor(), "METEOR"),
         (Rouge(), "ROUGE_L"),
         (Cider(), "CIDEr"),
         (Spice(), "SPICE"),

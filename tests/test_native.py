@@ -1,0 +1,115 @@
+"""Native C++ components must match the Python behavioral spec exactly."""
+import os
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _native_or_skip():
+    from clipcap_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built and no compiler available")
+    return native
+
+
+def test_native_builds():
+    _native_or_skip()
+
+
+def test_native_ptb_tokenizer_matches_python():
+    native = _native_or_skip()
+    from clipcap_tpu.eval.tokenization import ptb_tokenize_line as py_tok
+    from clipcap_tpu.native.ptb_tokenizer import ptb_tokenize_line as c_tok
+
+    cases = [
+        "A man, riding a horse.",
+        "The dog's ball (red).",
+        "I can't swim...",
+        "Mother-in-law's o'clock -- yes!",
+        "",
+        "Hello   world?!",
+        "it's 3.5 p.m.",
+        "they're we've you'll i'd i'm cannot",
+        "don't isn't won't ain't",
+        "[brackets] {braces} (parens)",
+        "semi;colon and co:lon",
+        "UPPER Case MiXeD",
+        "numbers 123 45a6",
+    ]
+    for text in cases:
+        assert c_tok(text) == py_tok(text), text
+
+    # fuzz
+    vocab = ["cat", "dog's", "can't", "red,", "jump.", "(hi)", "--", "a", "I'm",
+             "3.5", "...", "o'clock", "semi;", "it's!"]
+    rng = random.Random(0)
+    for _ in range(300):
+        text = " ".join(rng.choices(vocab, k=rng.randint(0, 10)))
+        assert c_tok(text) == py_tok(text), text
+
+
+def test_native_porter_matches_python():
+    native = _native_or_skip()
+    from clipcap_tpu.eval.porter import porter_stem
+    from clipcap_tpu.native import _take_string, load
+
+    lib = load()
+    words = ("riding rides ride caresses ponies ties caress cats feed agreed "
+             "plastered bled motoring sing conflated troubled sized hopping "
+             "tanned falling hissing fizzed failing filing happy sky "
+             "relational conditional rational valenci hesitanci digitizer "
+             "conformabli radicalli differentli vileli analogousli "
+             "vietnamization predication operator feudalism decisiveness "
+             "hopefulness callousness formaliti sensitiviti sensibiliti "
+             "triplicate formative formalize electriciti electrical hopeful "
+             "goodness revival allowance inference airliner gyroscopic "
+             "adjustable defensible irritant replacement adjustment dependent "
+             "adoption communism activate angulariti homologous effective "
+             "bowdlerize probate rate cease controll roll").split()
+    for w in words:
+        c = _take_string(lib, lib.ccn_porter_stem(w.encode()))
+        assert c == porter_stem(w), w
+
+
+def test_native_meteor_matches_python():
+    native = _native_or_skip()
+    from clipcap_tpu.eval.meteor import Meteor as PyMeteor
+    from clipcap_tpu.native.meteor import Meteor as CMeteor
+
+    py, c = PyMeteor(), CMeteor()
+    vocab = ("a the cat dog man woman rides riding walks red blue on in with "
+             "quickly sits mat horse park tree").split()
+    rng = random.Random(1)
+    for _ in range(100):
+        hyp = " ".join(rng.choices(vocab, k=rng.randint(1, 12)))
+        refs = [" ".join(rng.choices(vocab, k=rng.randint(1, 12))) for _ in range(3)]
+        assert abs(py.score_segment(hyp, refs) - c.score_segment(hyp, refs)) < 1e-12
+
+    gts = {i: [" ".join(rng.choices(vocab, k=8)) for _ in range(3)] for i in range(8)}
+    res = {i: [" ".join(rng.choices(vocab, k=7))] for i in range(8)}
+    sp, lp = py.compute_score(gts, res)
+    sc, lc = c.compute_score(gts, res)
+    assert abs(sp - sc) < 1e-12
+    assert all(abs(x - y) < 1e-12 for x, y in zip(lp, lc))
+
+
+def test_get_meteor_prefers_native():
+    native = _native_or_skip()
+    from clipcap_tpu.eval.meteor import Meteor as PyMeteor, get_meteor
+    from clipcap_tpu.native.meteor import Meteor as CMeteor
+
+    assert isinstance(get_meteor(), CMeteor)
+    # resource-table configuration falls back to the Python scorer
+    assert isinstance(get_meteor(synonyms={"cat": {"feline"}}), PyMeteor)
+
+
+def test_get_tokenizer_prefers_native():
+    native = _native_or_skip()
+    from clipcap_tpu.eval.tokenization import get_tokenizer
+    from clipcap_tpu.native.ptb_tokenizer import PTBTokenizer as CTok
+
+    assert isinstance(get_tokenizer(), CTok)
