@@ -52,16 +52,24 @@ def main() -> None:
         prefix = mapper_apply(mp, mapper_cfg, embs, dtype=jnp.bfloat16)
         return beam_search_batched(lp, lm_cfg, prefix, bp, dtype=jnp.bfloat16)
 
+    def sync(result) -> float:
+        """Force completion. On the tunneled TPU backend
+        ``block_until_ready`` is a no-op — only a device→host fetch
+        synchronizes, so pull one scalar derived from the result."""
+        return float(jnp.sum(result.tokens[..., :1]))
+
     # Warmup / compile.
     r = caption_batch(mapper_bf16, lm_bf16, embeddings)
-    jax.block_until_ready(r.tokens)
+    sync(r)
 
-    # Distinct inputs per round + per-round blocking: guards against any
-    # caching/coalescing of identical dispatches producing fake numbers.
+    # Distinct inputs per round (guards against dispatch coalescing); one
+    # scalar fetch at the end — device execution is in-order, so syncing the
+    # last result bounds all rounds. The single ~30 ms tunnel roundtrip is
+    # amortized across ROUNDS batches.
     t0 = time.perf_counter()
     for i in range(ROUNDS):
         r = caption_batch(mapper_bf16, lm_bf16, embeddings + i * 1e-3)
-        jax.block_until_ready(r.tokens)
+    sync(r)
     dt = time.perf_counter() - t0
 
     captions_per_sec = BATCH * ROUNDS / dt

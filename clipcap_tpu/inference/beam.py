@@ -12,10 +12,20 @@ semantics (/root/reference/clipcap/inference/base.py:55-132) token-for-token:
 * stop on the tokenizer's EOS (base.py:66 — unlike the '.' stop token used
   by the sampling decoders), final ranking by ``score / seq_length``.
 
-TPU-native: the growing ``embeds`` tensor is replaced by a beam-batched KV
-cache reordered with gathers inside a ``lax.while_loop``; every shape is
-static.  The whole search jits to one XLA program; prefixes can be batched
-by ``jax.vmap`` over the leading axis.
+TPU-native design (vs the reference's grow-and-reorder loop):
+
+* every shape is static; the token loop is one ``lax.while_loop`` inside a
+  single jitted XLA program;
+* the KV cache is **never reordered**.  The reference reorders its grown
+  tensors by source beam every step (base.py:104-115); as a TPU cache
+  gather that would rewrite the full multi-GB cache per step (measured
+  ~3x decode cost).  Instead a tiny ``[batch, K, T]`` int32 *ancestry*
+  table records which physical row holds each beam's K/V per position, and
+  attention selects rows lazily via a one-hot einsum (models/gpt2.py
+  ``_cached_block``).  Only tokens/scores/lengths — a few KB — are gathered;
+* ``beam_search_batched`` runs R independent searches natively batched in
+  one program: decode is HBM-bound on LM weight reads, so batching
+  amortizes them across samples.
 """
 from __future__ import annotations
 
@@ -41,9 +51,107 @@ class BeamParams:
 
 
 class BeamResult(NamedTuple):
-    tokens: Array       # [beam, max_new_tokens] int32 (includes stop token)
-    seq_lengths: Array  # [beam] float32 (reference counts the stop token)
-    scores: Array       # [beam] float32, length-normalized final scores
+    tokens: Array       # [..., beam, max_new_tokens] int32 (includes stop token)
+    seq_lengths: Array  # [..., beam] float32 (reference counts the stop token)
+    scores: Array       # [..., beam] float32, length-normalized final scores
+
+
+@partial(jax.jit, static_argnames=("cfg", "bp", "dtype", "precision"))
+def beam_search_batched(
+    params,
+    cfg: GPT2Config,
+    prefix_embeds: Array,  # [R, P, D] — one independent beam search per row
+    bp: BeamParams,
+    dtype=jnp.bfloat16,
+    precision=None,
+) -> BeamResult:
+    """R independent reference-exact beam searches in ONE XLA program."""
+    R, P, D = prefix_embeds.shape
+    K = bp.beam_size
+    N = bp.max_new_tokens
+    B = R * K
+    total = P + N
+    t = bp.temperature if bp.temperature > 0 else 1.0
+
+    # Prefill all K rows per sample with the (identical) prefix.  Redundant
+    # compute once, but it leaves every row with its own valid prefix K/V so
+    # the ancestry table can start as "own row" everywhere.
+    pe = jnp.repeat(prefix_embeds.astype(dtype), K, axis=0)  # [B, P, D]
+    cache = init_kv_cache(cfg, B, total, dtype=dtype, beam_size=K)
+    logits0, cache = gpt2_apply(
+        params, cfg, inputs_embeds=pe, kv_cache=cache,
+        cache_index=jnp.int32(0), dtype=dtype, precision=precision,
+        beam_size=K,
+    )
+    logp0 = jax.nn.log_softmax(
+        logits0[:, -1].astype(jnp.float32) / t, axis=-1
+    ).reshape(R, K, -1)[:, 0]                                # [R, V]
+    V = logp0.shape[-1]
+    scores0, first_tokens = jax.lax.top_k(logp0, K)          # [R, K]
+
+    tokens = jnp.full((R, K, N), bp.pad_token, dtype=jnp.int32)
+    tokens = tokens.at[:, :, 0].set(first_tokens.astype(jnp.int32))
+    seq_lengths = jnp.ones((R, K), dtype=jnp.float32)
+    has_stopped = first_tokens == bp.stop_token
+
+    own_row = (jnp.arange(B, dtype=jnp.int32) % K)[:, None]  # [B, 1]
+    ancestry = jnp.broadcast_to(own_row, (B, total))         # own row everywhere
+
+    def cond(state):
+        step = state[0]
+        stopped = state[5]
+        return jnp.logical_and(step < N, ~jnp.all(stopped))
+
+    def body(state):
+        step, tokens, scores, seq_lengths, cache, stopped, ancestry = state
+
+        # Forward the tokens chosen at step-1 (cache position P + step - 1).
+        # Each beam writes its own row, so ancestry there is "own row".
+        pos = P + step - 1
+        ancestry = jax.lax.dynamic_update_slice(
+            ancestry, own_row, (0, pos)
+        )
+        last_tok = jax.lax.dynamic_slice_in_dim(tokens, step - 1, 1, axis=2)
+        emb = gpt2_embed_tokens(params, last_tok.reshape(B, 1), dtype)
+        step_logits, new_cache = gpt2_apply(
+            params, cfg, inputs_embeds=emb, kv_cache=cache, cache_index=pos,
+            dtype=dtype, precision=precision, beam_size=K, ancestry=ancestry,
+        )
+        logp = jax.nn.log_softmax(
+            step_logits[:, 0].astype(jnp.float32) / t, axis=-1
+        ).reshape(R, K, V)
+
+        # Stopped beams: only token 0 with additive score 0 (base.py:96-98).
+        frozen = jnp.full((V,), -jnp.inf).at[0].set(0.0)
+        logp = jnp.where(stopped[:, :, None], frozen[None, None, :], logp)
+
+        seq_lengths = seq_lengths + (~stopped).astype(jnp.float32)  # base.py:100
+        scores_sum = scores[:, :, None] + logp                      # [R, K, V]
+        avg = scores_sum / seq_lengths[:, :, None]
+        top_avg, flat_idx = jax.lax.top_k(avg.reshape(R, K * V), K)
+        src = (flat_idx // V).astype(jnp.int32)                     # [R, K]
+        next_tok = (flat_idx % V).astype(jnp.int32)
+
+        # Gather ONLY the small state by source beam; the cache stays put
+        # and the ancestry table absorbs the reorder.
+        tokens = jnp.take_along_axis(tokens, src[:, :, None], axis=1)
+        tokens = tokens.at[:, :, step].set(next_tok)
+        seq_lengths = jnp.take_along_axis(seq_lengths, src, axis=1)
+        stopped = jnp.take_along_axis(stopped, src, axis=1)
+        scores = top_avg * seq_lengths                               # base.py:113
+        ancestry = jnp.take_along_axis(
+            ancestry.reshape(R, K, total), src[:, :, None], axis=1
+        ).reshape(B, total)
+
+        stopped = jnp.logical_or(stopped, next_tok == bp.stop_token)
+        return (step + 1, tokens, scores, seq_lengths, new_cache, stopped, ancestry)
+
+    state = (jnp.int32(1), tokens, scores0, seq_lengths, cache, has_stopped, ancestry)
+    state = jax.lax.while_loop(cond, body, state)
+    _, tokens, scores, seq_lengths, _, _, _ = state
+
+    final_scores = scores / seq_lengths  # base.py:121
+    return BeamResult(tokens=tokens, seq_lengths=seq_lengths, scores=final_scores)
 
 
 @partial(jax.jit, static_argnames=("cfg", "bp", "dtype", "precision"))
@@ -55,95 +163,10 @@ def beam_search(
     dtype=jnp.bfloat16,
     precision=None,
 ) -> BeamResult:
-    P = prefix_embeds.shape[1]
-    K = bp.beam_size
-    N = bp.max_new_tokens
-    total = P + N
-    t = bp.temperature if bp.temperature > 0 else 1.0
-
-    # Prefill once with batch 1, then tile the cache across beams — cheaper
-    # than the reference's expand-and-reforward (base.py:87).
-    cache1 = init_kv_cache(cfg, 1, total, dtype=dtype)
-    logits1, cache1 = gpt2_apply(
-        params, cfg, inputs_embeds=prefix_embeds.astype(dtype), kv_cache=cache1,
-        cache_index=jnp.int32(0), dtype=dtype, precision=precision,
+    """Single-sample beam search (reference API shape): R=1 batched call."""
+    res = beam_search_batched.__wrapped__(
+        params, cfg, prefix_embeds, bp, dtype=dtype, precision=precision
     )
-    cache = {k: jnp.broadcast_to(v, (v.shape[0], K) + v.shape[2:]).copy()
-             for k, v in cache1.items()}
-
-    logp0 = jax.nn.log_softmax(logits1[:, -1].astype(jnp.float32) / t, axis=-1)  # [1, V]
-    scores0, first_tokens = jax.lax.top_k(logp0[0], K)  # [K]
-
-    tokens = jnp.full((K, N), bp.pad_token, dtype=jnp.int32)
-    tokens = tokens.at[:, 0].set(first_tokens.astype(jnp.int32))
-    seq_lengths = jnp.ones((K,), dtype=jnp.float32)
-    has_stopped = first_tokens == bp.stop_token
-
-    def cond(state):
-        step, _, _, _, _, stopped = state
-        return jnp.logical_and(step < N, ~jnp.all(stopped))
-
-    def body(state):
-        step, tokens, scores, seq_lengths, cache, stopped = state
-
-        # Forward the tokens chosen at step-1 (cache position P + step - 1).
-        last_tok = jax.lax.dynamic_index_in_dim(tokens, step - 1, axis=1)  # [K,1]
-        emb = gpt2_embed_tokens(params, last_tok, dtype)
-        step_logits, new_cache = gpt2_apply(
-            params, cfg, inputs_embeds=emb, kv_cache=cache,
-            cache_index=P + step - 1, dtype=dtype, precision=precision,
-        )
-        logp = jax.nn.log_softmax(step_logits[:, 0].astype(jnp.float32) / t, axis=-1)  # [K,V]
-
-        # Stopped beams: only token 0 with additive score 0 (base.py:96-98).
-        V = logp.shape[-1]
-        frozen = jnp.full((V,), -jnp.inf).at[0].set(0.0)
-        logp = jnp.where(stopped[:, None], frozen[None, :], logp)
-
-        seq_lengths = seq_lengths + (~stopped).astype(jnp.float32)  # base.py:100
-        scores_sum = scores[:, None] + logp                          # [K, V]
-        avg = scores_sum / seq_lengths[:, None]
-        avg_flat = avg.reshape(-1)
-        top_avg, flat_idx = jax.lax.top_k(avg_flat, K)
-        src = flat_idx // V                                          # source beam
-        next_tok = (flat_idx % V).astype(jnp.int32)
-
-        tokens = tokens[src]
-        tokens = tokens.at[:, step].set(next_tok)
-        seq_lengths = seq_lengths[src]
-        stopped = stopped[src]
-        scores = top_avg * seq_lengths                               # base.py:113
-        cache = {k: v[:, src] for k, v in new_cache.items()}
-
-        stopped = jnp.logical_or(stopped, next_tok == bp.stop_token)
-        return (step + 1, tokens, scores, seq_lengths, cache, stopped)
-
-    state = (jnp.int32(1), tokens, scores0, seq_lengths, cache, has_stopped)
-    state = jax.lax.while_loop(cond, body, state)
-    _, tokens, scores, seq_lengths, _, _ = state
-
-    final_scores = scores / seq_lengths  # base.py:121
-    return BeamResult(tokens=tokens, seq_lengths=seq_lengths, scores=final_scores)
-
-
-@partial(jax.jit, static_argnames=("cfg", "bp", "dtype", "precision"))
-def beam_search_batched(
-    params,
-    cfg: GPT2Config,
-    prefix_embeds: Array,  # [N, P, D] — one beam search per row
-    bp: BeamParams,
-    dtype=jnp.bfloat16,
-    precision=None,
-) -> BeamResult:
-    """Throughput path: N independent beam searches in ONE XLA program.
-
-    Decode on TPU is HBM-bandwidth-bound — every step re-reads the LM
-    weights — so batching searches amortizes the weight traffic across
-    samples (the single-sample path pays the full weight read per caption).
-    This is the serving-side replacement for looping ``beam_search``;
-    results are identical per row.  Implemented with ``jax.vmap`` so the
-    semantics stay defined by the single-sample function above.
-    """
-    fn = partial(beam_search.__wrapped__, params, cfg, bp=bp, dtype=dtype,
-                 precision=precision)
-    return jax.vmap(lambda pe: fn(pe[None]))(prefix_embeds)
+    return BeamResult(
+        tokens=res.tokens[0], seq_lengths=res.seq_lengths[0], scores=res.scores[0]
+    )

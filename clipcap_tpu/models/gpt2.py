@@ -7,12 +7,18 @@ the whole sequence every step, e.g. /root/reference/clipcap/inference/no_beam.py
 
 TPU-first differences from the reference:
 
-* Parameters are a pytree with the *layer* dimension stacked on axis 0 so
-  the transformer body is a single ``lax.scan`` — one compiled block instead
-  of ``n_layer`` unrolled ones (faster compiles, natural remat boundary).
-* Decoding uses a preallocated fixed-shape KV cache updated with
-  ``lax.dynamic_update_slice`` — no growing ``inputs_embeds``, no dynamic
-  shapes, everything stays resident on-chip under ``jit``.
+* Parameters are a pytree with the *layer* dimension stacked on axis 0; the
+  training-path transformer body is a single ``lax.scan`` — one compiled
+  block instead of ``n_layer`` unrolled ones (faster compiles, natural remat
+  boundary).
+* Decoding uses a preallocated fixed-shape KV cache (per-layer buffers)
+  updated in place with ``lax.dynamic_update_slice`` inside an *unrolled*
+  layer loop — no growing ``inputs_embeds``, no dynamic shapes, and no
+  per-step whole-cache copies (a scan-carried cache can't alias; measured
+  2.5x slower per decode step on v5e).
+* Beam search never physically reorders the cache: an ancestry table selects
+  beam rows inside attention (``_cached_block``), so the per-step beam
+  "gather" costs no HBM cache traffic at all.
 * Compute dtype is configurable (bfloat16 for throughput on the MXU,
   float32 + ``Precision.HIGHEST`` for token-for-token parity runs).
 
@@ -123,10 +129,32 @@ def init_gpt2(cfg: GPT2Config, seed: int = 0) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> Params:
-    """Preallocated fixed-shape KV cache: ``[n_layer, batch, n_head, max_len, head_dim]``."""
-    shape = (cfg.n_layer, batch, cfg.n_head, max_len, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
+                  beam_size: Optional[int] = None):
+    """Preallocated fixed-shape KV cache.
+
+    A tuple of ``(k, v)`` pairs per layer, each ``[batch, n_head, max_len,
+    head_dim]``.  Per-layer buffers (instead of one stacked ``[n_layer, ...]``
+    array) let XLA update each layer's slice **in place** inside the decode
+    ``while_loop`` — a stacked cache forces a full-cache copy per step
+    because the per-layer ``dynamic_update_slice`` can't alias through the
+    layer loop (measured 2.5x step-time difference on v5e).
+
+    With ``beam_size`` K (rows grouped K-per-sample), the layout is
+    ``[batch/K, n_head, K, max_len, head_dim]`` instead: the ancestry
+    attention einsums then carry their batch dims (sample, head) leading in
+    BOTH operands, so XLA's dot_general needs no physical cache transpose
+    (the ``[B,H,T,Dh]`` view cost a full-cache transpose per layer per step
+    — measured 12x step-time blowup).
+    """
+    if beam_size is not None:
+        shape = (batch // beam_size, cfg.n_head, beam_size, max_len, cfg.head_dim)
+    else:
+        shape = (batch, cfg.n_head, max_len, cfg.head_dim)
+    return tuple(
+        (jnp.zeros(shape, dtype=dtype), jnp.zeros(shape, dtype=dtype))
+        for _ in range(cfg.n_layer)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -152,16 +180,132 @@ def _attention(
     return jnp.einsum("bhst,bthd->bshd", weights, v, precision=precision)
 
 
-def _block(
+def _mlp(x: Array, layer: Params, cfg: GPT2Config, precision) -> Array:
+    h = layer_norm(x, layer["ln_2"]["scale"], layer["ln_2"]["bias"], cfg.layer_norm_epsilon)
+    h = linear(h, layer["mlp"]["c_fc"]["w"], layer["mlp"]["c_fc"]["b"], precision)
+    h = ACTIVATIONS[cfg.activation](h)
+    h = linear(h, layer["mlp"]["c_proj"]["w"], layer["mlp"]["c_proj"]["b"], precision)
+    return x + h
+
+
+def _cached_block(
     x: Array,
     layer: Params,
-    cache_kv: Optional[Tuple[Array, Array]],
-    cache_index: Optional[Array],
+    ck: Array,
+    cv: Array,
+    cache_index,
     bias: Optional[Array],
     cfg: GPT2Config,
     precision,
-) -> Tuple[Array, Optional[Tuple[Array, Array]]]:
-    """One transformer block. ``layer`` holds this layer's (unstacked) params."""
+    beam_size: Optional[int] = None,
+    ancestry: Optional[Array] = None,
+) -> Tuple[Array, Array, Array]:
+    """One block in cached (prefill/decode) mode.
+
+    ``ck``/``cv``: this layer's cache ``[B, H, T, Dh]`` — written in place at
+    ``cache_index`` and attended over with the canonical ``[B,H,*,Dh]``
+    einsums (no whole-cache transposes; those doubled decode step time).
+
+    With ``beam_size`` K (rows grouped K-per-sample) the cache layout is
+    ``[R, H, K, T, Dh]`` and attention implements the lazy (gather-free)
+    beam reorder: rather than physically gathering the cache by source beam
+    every step (the reference reorders its grown tensors, base.py:104-115 —
+    as a cache gather on TPU that costs a full cache rewrite per step), rows
+    stay where they were written and ``ancestry[b, t] ∈ [0, K)`` names which
+    row *within b's beam group* holds beam b's key/value for position ``t``.
+    Attention computes q·k against all K rows of the group and selects by
+    the one-hot ancestry — cache traffic is read-once, zero reorder writes.
+    The (sample, head) batch dims lead in both einsum operands so XLA never
+    transposes the cache.
+    """
+    B, S, D = x.shape
+    H, Dh = cfg.n_head, cfg.head_dim
+    scale = 1.0 / np.sqrt(Dh)
+
+    h = layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"], cfg.layer_norm_epsilon)
+    qkv = linear(h, layer["attn"]["c_attn"]["w"], layer["attn"]["c_attn"]["b"], precision)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    if beam_size is None:
+        T = ck.shape[2]
+        q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)  # [B,H,S,Dh]
+        k = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+
+        logits = jnp.einsum("bhsd,bhtd->bhst", q, ck.astype(x.dtype),
+                            precision=precision) * scale
+        logits = logits.astype(jnp.float32)
+        if bias is not None:
+            logits = logits + bias
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bhst,bhtd->bhsd", w, cv.astype(x.dtype),
+                          precision=precision)
+        attn_out = attn.transpose(0, 2, 1, 3).reshape(B, S, D)
+    else:
+        K = beam_size
+        R = B // K
+        T = ck.shape[3]
+        assert bias is None or bias.shape[0] == 1, "beam mode: broadcast bias only"
+        # [B,S,H*Dh] -> [R,H,K,S,Dh]
+        qg = q.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
+        kg = k.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
+        vg = v.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
+        ck = jax.lax.dynamic_update_slice(ck, kg.astype(ck.dtype),
+                                          (0, 0, 0, cache_index, 0))
+        cv = jax.lax.dynamic_update_slice(cv, vg.astype(cv.dtype),
+                                          (0, 0, 0, cache_index, 0))
+        ckx = ck.astype(x.dtype)
+        cvx = cv.astype(x.dtype)
+
+        if ancestry is None:
+            # Prefill: each row attends its own history (batch dims r,h,k).
+            la = jnp.einsum("rhksd,rhktd->rhkst", qg, ckx,
+                            precision=precision) * scale
+            logits = la.astype(jnp.float32)
+            if bias is not None:
+                logits = logits + bias[0, 0]              # [S,T] broadcast
+            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            attn = jnp.einsum("rhkst,rhktd->rhksd", w, cvx, precision=precision)
+            attn_out = attn.transpose(0, 2, 3, 1, 4).reshape(B, S, D)
+        else:
+            # Decode: flat-context masked attention.  The group's K·T cache
+            # slots form one context of length U=K·T per query beam; the
+            # precomputed ``ancestry`` mask (built once per step in
+            # gpt2_apply, shared by all layers) is -inf everywhere except
+            # the one row holding each position's K/V — softmax over the
+            # masked flat axis is then EXACTLY the per-position row
+            # selection, but runs as a single plain attention einsum pair
+            # (the explicit all-pairs select/w2 formulation measured ~3 ms
+            # per layer per step in extra elementwise traffic).
+            assert S == 1
+            q1 = qg[:, :, :, 0]                           # [R,H,K,Dh]
+            U = K * T
+            ku = ckx.reshape(R, H, U, Dh)                 # free: (K,T) adjacent
+            vu = cvx.reshape(R, H, U, Dh)
+            la = jnp.einsum("rhkd,rhud->rhku", q1, ku,
+                            precision=precision).astype(jnp.float32) * scale
+            la = la + ancestry[:, None]                   # ancestry: [R,K,U] mask
+            w = jax.nn.softmax(la, axis=-1).astype(x.dtype)
+            attn = jnp.einsum("rhku,rhud->rhkd", w, vu, precision=precision)
+            attn_out = attn.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+    attn_out = linear(attn_out, layer["attn"]["c_proj"]["w"],
+                      layer["attn"]["c_proj"]["b"], precision)
+    x = x + attn_out
+    return _mlp(x, layer, cfg, precision), ck, cv
+
+
+def _block(
+    x: Array,
+    layer: Params,
+    bias: Optional[Array],
+    cfg: GPT2Config,
+    precision,
+) -> Array:
+    """One transformer block, full-sequence (no cache). Used by the
+    training-path ``lax.scan`` over stacked layer params."""
     B, S, D = x.shape
     H, Dh = cfg.n_head, cfg.head_dim
 
@@ -171,21 +315,7 @@ def _block(
     q = q.reshape(B, S, H, Dh)
     k = k.reshape(B, S, H, Dh)
     v = v.reshape(B, S, H, Dh)
-
-    new_cache = None
-    if cache_kv is not None:
-        ck, cv = cache_kv  # [B, H, T, Dh]
-        k_t = k.transpose(0, 2, 1, 3).astype(ck.dtype)  # [B,H,S,Dh]
-        v_t = v.transpose(0, 2, 1, 3).astype(cv.dtype)
-        ck = jax.lax.dynamic_update_slice(ck, k_t, (0, 0, cache_index, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v_t, (0, 0, cache_index, 0))
-        new_cache = (ck, cv)
-        k_all = ck.transpose(0, 2, 1, 3).astype(x.dtype)  # [B,T,H,Dh]
-        v_all = cv.transpose(0, 2, 1, 3).astype(x.dtype)
-        attn_out = _attention(q, k_all, v_all, bias, precision)
-    else:
-        attn_out = _attention(q, k, v, bias, precision)
-
+    attn_out = _attention(q, k, v, bias, precision)
     attn_out = attn_out.reshape(B, S, D)
     attn_out = linear(attn_out, layer["attn"]["c_proj"]["w"], layer["attn"]["c_proj"]["b"], precision)
     x = x + attn_out
@@ -194,8 +324,7 @@ def _block(
     h = linear(h, layer["mlp"]["c_fc"]["w"], layer["mlp"]["c_fc"]["b"], precision)
     h = ACTIVATIONS[cfg.activation](h)
     h = linear(h, layer["mlp"]["c_proj"]["w"], layer["mlp"]["c_proj"]["b"], precision)
-    x = x + h
-    return x, new_cache
+    return x + h
 
 
 def causal_bias(S: int, T: int, offset: Array | int = 0) -> Array:
@@ -213,12 +342,14 @@ def gpt2_apply(
     input_ids: Optional[Array] = None,
     inputs_embeds: Optional[Array] = None,
     attention_mask: Optional[Array] = None,
-    kv_cache: Optional[Params] = None,
+    kv_cache=None,
     cache_index: Optional[Array] = None,
     dtype=jnp.float32,
     precision=None,
     remat: bool = False,
     return_logits: bool = True,
+    beam_size: Optional[int] = None,
+    ancestry: Optional[Array] = None,
 ):
     """GPT-2 forward.
 
@@ -232,6 +363,10 @@ def gpt2_apply(
       ``cache_index`` and attends over the whole preallocated cache with a
       fixed-shape mask. ``attention_mask``, if given, is a [B, max_len]
       validity mask over *cache slots*.
+    * **Beam decode** (``beam_size`` K + ``ancestry`` [B, max_len] given,
+      S=1 only): rows are grouped K-per-sample; ``ancestry[b, t] ∈ [0, K)``
+      names the group row holding beam b's K/V for position t.  This is the
+      lazy (gather-free) beam reorder — see ``_cached_block``.
 
     Returns ``(logits_or_hidden, new_kv_cache)``.
     """
@@ -242,7 +377,7 @@ def gpt2_apply(
 
     if kv_cache is not None:
         offset = cache_index
-        T = kv_cache["k"].shape[3]
+        T = kv_cache[0][0].shape[-2]
     else:
         offset = 0
         T = S
@@ -255,27 +390,47 @@ def gpt2_apply(
         pad_bias = jnp.where(attention_mask.astype(bool), 0.0, NEG_INF).astype(jnp.float32)
         bias = bias + pad_bias[:, None, None, :]
 
-    block = partial(_block, cfg=cfg, precision=precision)
-    if remat:
-        block = jax.checkpoint(block, static_argnums=())
-
     if kv_cache is not None:
-        def scan_fn(carry, layer_and_cache):
-            h = carry
-            layer, (ck, cv) = layer_and_cache
-            h, new_kv = _scan_block(h, layer, (ck, cv))
-            return h, new_kv
+        beam_mask = None
+        if ancestry is not None:
+            # Build the flat-context beam selection mask ONCE per step (all
+            # layers share it): [R, K, K*T] fp32, 0 where row j holds beam
+            # k's K/V for position t (and t is causally visible), else -inf.
+            assert beam_size is not None and S == 1
+            K = beam_size
+            R = B // K
+            sel = ancestry.reshape(R, K, 1, T) == jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, K, 1), 2
+            )                                             # [R,K(query),K(row),T]
+            tpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
+            visible = jnp.logical_and(sel, tpos <= offset)
+            beam_mask = jnp.where(visible, 0.0, NEG_INF).astype(jnp.float32)
+            beam_mask = beam_mask.reshape(R, K, K * T)
 
-        def _scan_block(h, layer, kvs):
-            return block(h, layer, kvs, cache_index, bias)
-
-        x, (new_k, new_v) = jax.lax.scan(
-            scan_fn, x, (params["h"], (kv_cache["k"], kv_cache["v"]))
-        )
-        new_cache = {"k": new_k, "v": new_v}
+        # Unrolled layer loop with per-layer cache buffers: each layer's
+        # dynamic_update_slice aliases its buffer in place across the decode
+        # while_loop (a scan-carried stacked cache copies the whole cache
+        # every step — 2.5x slower per step measured on v5e).
+        new_cache = []
+        h = x
+        for l in range(cfg.n_layer):
+            layer = jax.tree_util.tree_map(lambda p: p[l], params["h"])
+            ck, cv = kv_cache[l]
+            h, ck, cv = _cached_block(
+                h, layer, ck, cv, cache_index,
+                None if beam_mask is not None else bias,
+                cfg, precision, beam_size=beam_size, ancestry=beam_mask,
+            )
+            new_cache.append((ck, cv))
+        x = h
+        new_cache = tuple(new_cache)
     else:
+        block = partial(_block, cfg=cfg, precision=precision)
+        if remat:
+            block = jax.checkpoint(block, static_argnums=())
+
         def scan_fn(carry, layer):
-            h, _ = block(carry, layer, None, None, bias)
+            h = block(carry, layer, bias)
             return h, None
 
         x, _ = jax.lax.scan(scan_fn, x, params["h"])

@@ -34,6 +34,9 @@ def add_training_args(parser: ArgumentParser) -> ArgumentParser:
                           help="Chips to use: '-1' for all, '<n>' or '<n>,<n>,...' for specific ones.")
     training.add_argument("--grad-clip-norm", type=float, default=0.0,
                           help="Global-norm gradient clipping (0 disables).")
+    training.add_argument("--fused-optimizer", type=str2bool, default=False,
+                          help="Use the Pallas fused-AdamW kernel (single HBM pass per "
+                               "param block; the DeepSpeed-FusedAdam analog, model.py:72-74).")
     training.add_argument("--resume-from", type=str, default=None,
                           help="Path to a full train-state checkpoint to resume from (step/params/moments).")
 

@@ -55,9 +55,18 @@ def make_optimizer(
     train_language_model: bool = False,
     weight_decay: float = 0.01,
     grad_clip_norm: Optional[float] = None,
+    fused: bool = False,
 ) -> optax.GradientTransformation:
     schedule = linear_warmup_decay(lr, warmup_steps, total_steps)
-    adamw = optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
+    if fused:
+        # Pallas single-HBM-pass kernel — the TPU answer to DeepSpeed
+        # FusedAdam (reference model.py:72-74). Numerically identical to
+        # optax.adamw; see clipcap_tpu/ops/fused_adamw.py.
+        from clipcap_tpu.ops.fused_adamw import fused_adamw
+
+        adamw = fused_adamw(learning_rate=schedule, weight_decay=weight_decay)
+    else:
+        adamw = optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
     if grad_clip_norm:
         adamw = optax.chain(optax.clip_by_global_norm(grad_clip_norm), adamw)
 

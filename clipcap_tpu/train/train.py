@@ -77,6 +77,7 @@ def train(args: Namespace) -> int:
         total_steps=args.total_steps,
         train_language_model=args.train_language_model,
         grad_clip_norm=args.grad_clip_norm or None,
+        fused=args.fused_optimizer,
     )
     state = create_train_state(model.params, tx)
     if args.resume_from:
