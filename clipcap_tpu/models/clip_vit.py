@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from clipcap_tpu.ops.attention import sdpa
 from clipcap_tpu.ops.layers import layer_norm, linear, normal_init, ones_init, quick_gelu, zeros_init
 
 Array = jax.Array
@@ -206,12 +207,11 @@ def _clip_block(x: Array, layer: Params, heads: int, eps: float, bias, precision
     q = q.reshape(B, N, heads, Dh)
     k = k.reshape(B, N, heads, Dh)
     v = v.reshape(B, N, heads, Dh)
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, precision=precision) * (Dh ** -0.5)
-    logits = logits.astype(jnp.float32)
-    if bias is not None:
-        logits = logits + bias
-    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    attn = jnp.einsum("bhnm,bmhd->bnhd", weights, v, precision=precision).reshape(B, N, D)
+    # XLA attention path: measured FASTER than the Pallas whole-row kernel
+    # here (51 vs 64 ms at batch 512 on v5e) — the kernel's layout costs
+    # (head transpose / pad around an opaque custom call) exceed the HBM
+    # round-trip it saves on the [B,H,N,N] logits.  See ops/attention.py.
+    attn = sdpa(q, k, v, bias=bias, fused=False).reshape(B, N, D)
     attn = linear(attn, layer["attn"]["out_proj"]["w"], layer["attn"]["out_proj"]["b"], precision)
     x = x + attn
 
@@ -246,15 +246,31 @@ def clip_encode_image(
     """ViT forward → [B, embed_dim] joint-space embeddings
     (``model.encode_image``, reference clip.py:121)."""
     x = images.astype(dtype)
-    if images.dtype == jnp.uint8:
-        x = x / 255.0
+
+    # Fold pixel normalization (and the uint8 /255) INTO the patch-embed
+    # weights: ((x - mean)/std) @ W  ==  x @ (W/std) - (mean/std) @ W.
+    # The fold is a pass over the 2.4M-param weight instead of the 77M-pixel
+    # batch — pixel normalization then costs zero HBM traffic (the
+    # "Pallas-fused preprocessing" north star, BASELINE.json, done in the
+    # matmul itself).  Patch rows are (c, ph, pw)-ordered (see patchify), so
+    # the per-channel constants repeat patch_size² times each.
+    w = params["patch_embed"]["w"].astype(dtype)  # [p·p·3, D]
+    bias0 = None
     if normalize_pixels:
-        mean = jnp.asarray(IMAGE_MEAN, dtype)
-        std = jnp.asarray(IMAGE_STD, dtype)
-        x = (x - mean) / std
+        pp = cfg.patch_size * cfg.patch_size
+        mean_p = jnp.repeat(jnp.asarray(IMAGE_MEAN, jnp.float32), pp)
+        std_p = jnp.repeat(jnp.asarray(IMAGE_STD, jnp.float32), pp)
+        scale_p = (1.0 / std_p)
+        if images.dtype == jnp.uint8:
+            scale_p = scale_p / 255.0  # raw 0..255 values flow into the matmul
+        w = (w.astype(jnp.float32) * scale_p[:, None]).astype(dtype)
+        bias0 = -(mean_p / std_p) @ params["patch_embed"]["w"].astype(jnp.float32)
+        bias0 = bias0.astype(dtype)
+    elif images.dtype == jnp.uint8:
+        x = x / 255.0
 
     x = patchify(x, cfg.patch_size)
-    x = linear(x, params["patch_embed"]["w"], None, precision)  # [B, N, D]
+    x = linear(x, w, bias0, precision)  # [B, N, D]
 
     B = x.shape[0]
     cls = jnp.broadcast_to(params["class_embedding"].astype(dtype)[None, None], (B, 1, cfg.width))

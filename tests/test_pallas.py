@@ -111,3 +111,71 @@ def test_fused_adamw_prefix_only_multi_transform(rng):
     updates, _ = tx.update(grads, state, params)
     assert float(jnp.abs(updates["lm"]["w"]).max()) == 0.0
     assert float(jnp.abs(updates["mapper"]["w"]).max()) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Fused SDPA (ops/attention.py)
+# ---------------------------------------------------------------------------
+
+
+def _xla_sdpa(q, k, v, scale, causal):
+    from clipcap_tpu.ops.attention import sdpa
+
+    return sdpa(q, k, v, scale=scale, causal=causal, fused=False)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("n", [7, 51, 64, 130])
+def test_fused_sdpa_matches_xla(rng, causal, n):
+    from clipcap_tpu.ops.attention import sdpa
+
+    B, H, Dh = 3, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, n, H, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, n, H, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, n, H, Dh)), jnp.float32)
+
+    ref = _xla_sdpa(q, k, v, None, causal)
+    out = sdpa(q, k, v, causal=causal, fused=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_sdpa_rejects_long_rows(rng):
+    from clipcap_tpu.ops.attention import fused_sdpa
+
+    q = jnp.zeros((1, 1, 600, 64), jnp.float32)
+    with pytest.raises(ValueError):
+        fused_sdpa(q, q, q)
+
+
+def test_clip_folded_pixel_norm_matches_explicit(rng):
+    """Folding (x-mean)/std into the patch-embed weights must reproduce the
+    explicit normalization path, for float AND uint8 inputs."""
+    import clipcap_tpu.models.clip_vit as cv
+
+    cfg = cv.CLIPVisionConfig(image_size=32, patch_size=16, width=64,
+                              layers=2, heads=4, embed_dim=32)
+    params = cv.init_clip_vision(cfg, seed=0)
+    imgs_f = rng.random((2, 32, 32, 3)).astype(np.float32)
+
+    out_folded = cv.clip_encode_image(params, cfg, jnp.asarray(imgs_f),
+                                      dtype=jnp.float32)
+
+    # Explicit path: pre-normalize on the host, disable the fold.
+    mean = np.asarray(cv.IMAGE_MEAN, np.float32)
+    std = np.asarray(cv.IMAGE_STD, np.float32)
+    explicit = (imgs_f - mean) / std
+    out_explicit = cv.clip_encode_image(params, cfg, jnp.asarray(explicit),
+                                        dtype=jnp.float32,
+                                        normalize_pixels=False)
+    np.testing.assert_allclose(np.asarray(out_folded), np.asarray(out_explicit),
+                               atol=1e-4, rtol=1e-4)
+
+    # uint8 path folds the /255 too.
+    imgs_u8 = (imgs_f * 255).astype(np.uint8)
+    out_u8 = cv.clip_encode_image(params, cfg, jnp.asarray(imgs_u8),
+                                  dtype=jnp.float32)
+    explicit_u8 = (imgs_u8.astype(np.float32) / 255.0 - mean) / std
+    ref_u8 = cv.clip_encode_image(params, cfg, jnp.asarray(explicit_u8),
+                                  dtype=jnp.float32, normalize_pixels=False)
+    np.testing.assert_allclose(np.asarray(out_u8), np.asarray(ref_u8),
+                               atol=1e-4, rtol=1e-4)
