@@ -117,18 +117,41 @@ def beam_search_batched(
             params, cfg, inputs_embeds=emb, kv_cache=cache, cache_index=pos,
             dtype=dtype, precision=precision, beam_size=K, ancestry=ancestry,
         )
-        logp = jax.nn.log_softmax(
-            step_logits[:, 0].astype(jnp.float32) / t, axis=-1
-        ).reshape(R, K, V)
+        # Candidate-based ranking — exact, but never materializes the fp32
+        # [B, V] log-softmax (the reference ranks avg = (scores+logp)/len
+        # over the full beam·vocab table, base.py:99-102).  Within one beam
+        # row, avg ordering == raw-logit ordering (scores/len are per-row
+        # constants and t > 0), so each joint top-K winner must already be
+        # in its row's top-K by (logit desc, token asc) — lax.top_k's exact
+        # tie order.  Rank the K·K survivors by (avg desc, flat-index asc),
+        # the reference's tie rule, via a lexicographic sort.
+        l = step_logits[:, 0]                                   # [B, V]
+        top_l, top_v = jax.lax.top_k(l, K)                      # [B, K]
+        lf = l.astype(jnp.float32) / t
+        m = jnp.max(lf, axis=-1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(lf - m[:, None]), axis=-1))  # [B]
+        logp_cand = (top_l.astype(jnp.float32) / t - lse[:, None]).reshape(R, K, K)
+        cand_ids = top_v.astype(jnp.int32).reshape(R, K, K)
 
         # Stopped beams: only token 0 with additive score 0 (base.py:96-98).
-        frozen = jnp.full((V,), -jnp.inf).at[0].set(0.0)
-        logp = jnp.where(stopped[:, :, None], frozen[None, None, :], logp)
+        # Filler ids 1..K-1 mirror the reference's -inf tail in index order.
+        filler_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+        frozen_vals = jnp.where(filler_ids == 0, 0.0, -jnp.inf)
+        logp_cand = jnp.where(stopped[:, :, None], frozen_vals, logp_cand)
+        cand_ids = jnp.where(stopped[:, :, None], filler_ids, cand_ids)
 
         seq_lengths = seq_lengths + (~stopped).astype(jnp.float32)  # base.py:100
-        scores_sum = scores[:, :, None] + logp                      # [R, K, V]
-        avg = scores_sum / seq_lengths[:, :, None]
-        top_avg, flat_idx = jax.lax.top_k(avg.reshape(R, K * V), K)
+        avg = (scores[:, :, None] + logp_cand) / seq_lengths[:, :, None]
+        flat_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1) * V + cand_ids
+        )
+        neg, fidx = jax.lax.sort(
+            (-avg.reshape(R, K * K),
+             jnp.broadcast_to(flat_ids, (R, K, K)).reshape(R, K * K)),
+            num_keys=2,
+        )
+        top_avg = -neg[:, :K]
+        flat_idx = fidx[:, :K]
         src = (flat_idx // V).astype(jnp.int32)                     # [R, K]
         next_tok = (flat_idx % V).astype(jnp.int32)
 
