@@ -284,6 +284,10 @@ def _cached_block(
             U = K * T
             ku = ckx.reshape(R, H, U, Dh)                 # free: (K,T) adjacent
             vu = cvx.reshape(R, H, U, Dh)
+            # XLA path kept deliberately: a fused Pallas kernel for this
+            # step was measured 5x SLOWER (the [R,K,U] blocks force tiny
+            # per-program tiles inside the while_loop; launch + lane-padding
+            # overheads swamp the saved logits round-trip).
             la = jnp.einsum("rhkd,rhud->rhku", q1, ku,
                             precision=precision).astype(jnp.float32) * scale
             la = la + ancestry[:, None]                   # ancestry: [R,K,U] mask
