@@ -141,6 +141,7 @@ def clipcap_loss(
     dtype=jnp.float32,
     precision=None,
     remat: bool = False,
+    freeze_lm: bool = False,
 ) -> Array:
     """Cross-entropy over caption tokens (reference training_step,
     model.py:94-113).
@@ -148,7 +149,15 @@ def clipcap_loss(
     The reference rewrites pads to 0 and uses ``ignore_index=0``, which also
     silently drops real GPT-2 token id 0 ("!") — a documented bug
     (SURVEY.md). Here the loss masks on the *pad positions* (-1) directly.
+
+    ``freeze_lm`` (prefix-only training): stop_gradient on the LM params so
+    XLA provably drops the LM *weight*-gradient einsums — the bulk of the
+    backward FLOPs — while activation gradients still flow to the mapper.
+    (The optimizer's set_to_zero mask makes those grads dead anyway, but
+    the stop_gradient guarantees the elimination at trace time.)
     """
+    if freeze_lm:
+        params = dict(params, lm=jax.lax.stop_gradient(params["lm"]))
     mask = tokens >= 0
     safe_tokens = jnp.where(mask, tokens, 0)
 

@@ -47,11 +47,13 @@ def train_step(
     dtype=jnp.bfloat16,
     precision=None,
     remat: bool = False,
+    freeze_lm: bool = False,
 ) -> Tuple[TrainState, Dict[str, Array]]:
     def loss_fn(params):
         return clipcap_loss(
             params, lm_cfg, mapper_cfg, prefix_length, tokens, embeddings,
             dtype=dtype, precision=precision, remat=remat,
+            freeze_lm=freeze_lm,
         )
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -86,6 +88,7 @@ def make_train_step(
     precision=None,
     remat: bool = False,
     zero1: bool = True,
+    freeze_lm: bool = False,
 ):
     """Compile the training step over ``mesh``.
 
@@ -102,7 +105,7 @@ def make_train_step(
         train_step,
         tx=tx, lm_cfg=lm_cfg, mapper_cfg=mapper_cfg,
         prefix_length=prefix_length, dtype=dtype, precision=precision,
-        remat=remat,
+        remat=remat, freeze_lm=freeze_lm,
     )
     step_fn = jax.jit(
         fn,

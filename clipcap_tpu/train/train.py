@@ -93,6 +93,7 @@ def train(args: Namespace) -> int:
         dtype=compute_dtype,
         remat=args.train_language_model,  # finetune needs the memory headroom
         zero1=zero1,
+        freeze_lm=not args.train_language_model,
     )
 
     checkpoint_saver = CheckpointSaver(
