@@ -217,3 +217,40 @@ def test_linear_warmup_decay_schedule():
     assert abs(float(sched(10)) - 1.0) < 1e-6
     assert abs(float(sched(55)) - 0.5) < 1e-6
     assert float(sched(100)) == 0.0
+
+
+def test_sharded_beam_serving_matches_unsharded():
+    """Batched beam search data-sharded over the 8-device mesh must produce
+    identical results to the unsharded run (serving-side scale-out)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from clipcap_tpu.inference.beam import BeamParams, beam_search_batched
+    from clipcap_tpu.models.gpt2 import GPT2Config, init_gpt2
+    from clipcap_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    cfg = GPT2Config(vocab_size=211, n_positions=64, n_embd=32, n_layer=2,
+                     n_head=4, name="t")
+    params = init_gpt2(cfg)
+    bp = BeamParams(beam_size=3, max_new_tokens=8, stop_token=5)
+    rng = np.random.default_rng(0)
+    prefix = jnp.asarray(rng.normal(size=(16, 4, 32)) * 0.02, jnp.float32)
+
+    ref = beam_search_batched(params, cfg, prefix, bp, dtype=jnp.float32)
+
+    mesh = make_mesh(MeshConfig(data=8, model=1), devices=jax.devices()[:8])
+
+    def run(p, pe):
+        return beam_search_batched.__wrapped__(p, cfg, pe, bp, dtype=jnp.float32)
+
+    sharded = jax.jit(
+        run,
+        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("data", None))),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )(params, prefix)
+
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(sharded.tokens))
+    np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(sharded.scores),
+                               atol=1e-5)
