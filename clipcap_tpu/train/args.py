@@ -39,6 +39,9 @@ def add_training_args(parser: ArgumentParser) -> ArgumentParser:
                                "param block; the DeepSpeed-FusedAdam analog, model.py:72-74).")
     training.add_argument("--resume-from", type=str, default=None,
                           help="Path to a full train-state checkpoint to resume from (step/params/moments).")
+    training.add_argument("--profile-dir", type=str, default=None,
+                          help="Capture a jax.profiler trace of early post-compile steps "
+                               "into this directory (view with TensorBoard/xprof).")
 
     data = parser.add_argument_group("data")
     data.add_argument("--input-dataset", type=str, default="./dataset/",

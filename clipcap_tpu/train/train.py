@@ -126,12 +126,21 @@ def train(args: Namespace) -> int:
                 [embeds, np.zeros((rem,) + embeds.shape[1:], embeds.dtype)])
         return tokens, embeds
 
+    # --profile-dir: capture a jax.profiler trace of steps 2..4 (step 1 is
+    # compile) for TensorBoard/xprof — the tracing subsystem the reference
+    # lacks (SURVEY.md §5.1).
+    from clipcap_tpu.utils.profiling import trace
+
+    profile_steps = range(2, 5) if args.profile_dir else ()
+
     t0 = time.time()
     seen = 0
     for epoch in range(args.epochs):
         for tokens, embeds in dataloader:
             tokens, embeds = pad_to_mesh(tokens, embeds)
-            state, metrics = step_fn(state, jnp.asarray(tokens), jnp.asarray(embeds))
+            will_profile = int(state.step) + 1 in profile_steps
+            with trace(args.profile_dir if will_profile else None):
+                state, metrics = step_fn(state, jnp.asarray(tokens), jnp.asarray(embeds))
             seen += tokens.shape[0]
             step = int(metrics["step"])
             if step % args.logging_frequency == 0:

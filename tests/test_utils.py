@@ -95,3 +95,32 @@ def test_package_level_api():
     assert callable(clipcap_tpu.generate_beam)
     with pytest.raises(AttributeError):
         clipcap_tpu.nonexistent_thing
+
+
+def test_profiling_helpers(tmp_path):
+    import jax.numpy as jnp
+
+    from clipcap_tpu.utils.profiling import Timer, annotate, timed, trace
+
+    # timed: returns result + per-round seconds with a device sync.
+    def f(x):
+        return x * 2
+
+    r, dt = timed(f, jnp.ones((8,)), rounds=3)
+    assert float(r[0]) == 2.0 and dt >= 0.0
+
+    # Timer sections accumulate.
+    t = Timer()
+    with t.section("a"):
+        pass
+    with t.section("a"):
+        pass
+    assert t.counts["a"] == 2 and "a" in t.summary()
+
+    # annotate + trace: produce a real profile dir; no-op when logdir falsy.
+    with trace(None):
+        pass
+    with trace(str(tmp_path)):
+        with annotate("unit-test-region"):
+            float(jnp.sum(jnp.ones((4,))))
+    assert any(tmp_path.rglob("*.xplane.pb")), "no trace written"
