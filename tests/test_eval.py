@@ -214,3 +214,90 @@ def test_evaluate_metrics_csv_front_end(tmp_path):
     assert "spider" in out and "cider" in out
     assert out["bleu_1"]["score"] == pytest.approx(1.0, abs=1e-6)
     assert set(out["cider"]["scores"].keys()) == {"f0.wav", "f1.wav"}
+
+
+# ---------------------------------------------------------------------------
+# Oracle parity: score the same corpora with the reference's vendored
+# pure-Python scorers (loaded standalone from /root/reference — the heavy
+# package __init__ is never executed) and require near-bitwise agreement.
+# ---------------------------------------------------------------------------
+
+REFERENCE_EVAL = "/root/reference/clipcap/eval/pycocoevalcap"
+
+
+def _load_reference_scorers():
+    import importlib.util
+    import sys
+    import types
+
+    if not os.path.isdir(REFERENCE_EVAL):
+        pytest.skip("reference checkout not available")
+
+    for name in ("clipcap", "clipcap.eval", "clipcap.eval.pycocoevalcap",
+                 "clipcap.eval.pycocoevalcap.bleu",
+                 "clipcap.eval.pycocoevalcap.cider",
+                 "clipcap.eval.pycocoevalcap.rouge"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+
+    def load(name, path):
+        full = f"clipcap.eval.pycocoevalcap.{name}"
+        if full in sys.modules and hasattr(sys.modules[full], "__file__"):
+            return sys.modules[full]
+        spec = importlib.util.spec_from_file_location(full, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("bleu.bleu_scorer", f"{REFERENCE_EVAL}/bleu/bleu_scorer.py")
+    bleu = load("bleu.bleu", f"{REFERENCE_EVAL}/bleu/bleu.py")
+    load("cider.cider_scorer", f"{REFERENCE_EVAL}/cider/cider_scorer.py")
+    cider = load("cider.cider", f"{REFERENCE_EVAL}/cider/cider.py")
+    rouge = load("rouge.rouge", f"{REFERENCE_EVAL}/rouge/rouge.py")
+    return bleu.Bleu, cider.Cider, rouge.Rouge
+
+
+def _random_corpus(rng, n_items, n_refs):
+    vocab = ("a the dog cat man woman runs sits sleeps park couch red blue "
+             "big small on in under near with ball tree street water").split()
+
+    def sent():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+
+    gts = {f"id{i}": [sent() for _ in range(n_refs)] for i in range(n_items)}
+    res = {f"id{i}": [sent()] for i in range(n_items)}
+    # make some predictions (near-)perfect to exercise the high-score paths
+    for i in range(0, n_items, 3):
+        res[f"id{i}"] = [gts[f"id{i}"][0]]
+    return gts, res
+
+
+def test_scorers_match_reference_oracle():
+    import random
+
+    RefBleu, RefCider, RefRouge = _load_reference_scorers()
+    from clipcap_tpu.eval.bleu import Bleu
+    from clipcap_tpu.eval.cider import Cider
+    from clipcap_tpu.eval.rouge import Rouge
+
+    rng = random.Random(7)
+    for trial in range(3):
+        gts, res = _random_corpus(rng, n_items=17 + trial, n_refs=2 + trial)
+
+        ref_b, _ = RefBleu(4).compute_score(gts, res)
+        our_b, _ = Bleu(4).compute_score(gts, res)
+        np.testing.assert_allclose(our_b, ref_b, rtol=1e-10, atol=1e-12)
+
+        ref_c, ref_cs = RefCider().compute_score(gts, res)
+        our_c, our_cs = Cider().compute_score(gts, res)
+        np.testing.assert_allclose(our_c, ref_c, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(our_cs, float).ravel(),
+                                   np.asarray(ref_cs, float).ravel(),
+                                   rtol=1e-9, atol=1e-12)
+
+        ref_r, _ = RefRouge().compute_score(gts, res)
+        our_r, _ = Rouge().compute_score(gts, res)
+        np.testing.assert_allclose(our_r, ref_r, rtol=1e-10, atol=1e-12)
