@@ -258,3 +258,164 @@ def test_mapper_matches_reference_torch(windowed):
     ours = mapper_apply(params, cfg, jnp.asarray(x), dtype=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Oracle parity: run the reference's OWN decoder code (loaded standalone from
+# /root/reference, torch CPU) against ours, token-for-token, at deterministic
+# settings (top_k=1 / top_p→0 makes the multinomial a delta distribution).
+# ---------------------------------------------------------------------------
+
+import jax  # noqa: E402 (oracle tests below)
+import jax.numpy as jnp  # noqa: E402
+
+REFERENCE_INFER = "/root/reference/clipcap/inference"
+
+
+def _load_reference_decoders():
+    import importlib.util
+    import types
+
+    if not os.path.isdir(REFERENCE_INFER):
+        pytest.skip("reference checkout not available")
+
+    # Stub the package chain + clipcap.model (imported only for type hints).
+    for name in ("clipcap", "clipcap.inference", "clipcap.model"):
+        if name not in sys.modules or not hasattr(sys.modules[name], "__path__"):
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    sys.modules["clipcap.model"].ClipCapModel = object
+    sys.modules["clipcap.model"].ClipCapModelPrefixOnly = object
+
+    def load(stem):
+        full = f"clipcap.inference.{stem}"
+        if full in sys.modules and hasattr(sys.modules[full], "__file__"):
+            return sys.modules[full]
+        spec = importlib.util.spec_from_file_location(
+            full, f"{REFERENCE_INFER}/{stem}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("utils")
+    return load("no_beam"), load("nucleus_sampling"), load("base")
+
+
+class _RefModelWrapper:
+    """Duck-typed stand-in for the reference ClipCapModel: the decoders only
+    touch ``.language_model``."""
+
+    def __init__(self, hf_lm):
+        self.language_model = hf_lm
+
+
+def _tiny_pair():
+    """A tiny HF GPT-2 and its converted JAX twin + byte-level tokenizer."""
+    import torch
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from clipcap_tpu.models.clipcap import ClipCapModel
+    from clipcap_tpu.models.gpt2 import GPT2Config
+    from clipcap_tpu.models.hf_import import gpt2_params_from_hf
+    from clipcap_tpu.models.mapper import MapperConfig, init_mapper
+    from clipcap_tpu.utils.tokenizer import get_tokenizer
+    from clipcap_tpu.config import Config, EncoderConfig
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(vocab_size=50257, n_positions=128, n_embd=64,
+                      n_layer=2, n_head=4)
+    hf = GPT2LMHeadModel(hf_cfg).eval()
+
+    cfg = GPT2Config(vocab_size=50257, n_positions=128, n_embd=64,
+                     n_layer=2, n_head=4, name="tiny")
+    params = gpt2_params_from_hf(hf.state_dict(), cfg)
+
+    config = Config(language_model="tiny", prefix_length=4, projection_length=4,
+                    transformer_layers=2, transformer_attention_heads=4,
+                    encoder_config=EncoderConfig(encoder_embedding_size=16))
+    mcfg = MapperConfig(encoder_embedding_size=16, lm_embedding_size=64,
+                        prefix_length=4, projection_length=4,
+                        num_layers=2, num_heads=4)
+    model = ClipCapModel(config=config, lm_config=cfg, mapper_config=mcfg,
+                         params={"mapper": init_mapper(mcfg, seed=0), "lm": params})
+    return hf, model, get_tokenizer("tiny")
+
+
+def test_no_beam_decoder_matches_reference_code():
+    import torch
+
+    ref_no_beam, _, _ = _load_reference_decoders()
+    hf, model, tok = _tiny_pair()
+
+    from clipcap_tpu.inference.generate import generate_no_beam
+
+    rng = np.random.default_rng(5)
+    prefix = (rng.normal(size=(1, 4, 64)) * 0.02).astype(np.float32)
+
+    ref_out = ref_no_beam.generate_no_beam(
+        _RefModelWrapper(hf), tok, torch.tensor(prefix),
+        number_to_generate=1, top_k=1, top_p=0.0, temperature=1.0,
+        repetition_penalty=1.2, desired_sentence_length=10,
+        sentence_length_factor=1.0, entry_length=12,
+    )
+    ours = generate_no_beam(
+        model, tok, jnp.asarray(prefix),
+        number_to_generate=1, top_k=1, top_p=0.0, temperature=1.0,
+        repetition_penalty=1.2, desired_sentence_length=10,
+        sentence_length_factor=1.0, entry_length=12,
+        dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    assert ours[0] == ref_out[0], (ours, ref_out)
+
+
+def test_nucleus_decoder_matches_reference_code():
+    import torch
+
+    _, ref_nucleus, _ = _load_reference_decoders()
+    hf, model, tok = _tiny_pair()
+
+    from clipcap_tpu.inference.generate import generate_nucleus_sampling
+
+    rng = np.random.default_rng(9)
+    prefix = (rng.normal(size=(1, 4, 64)) * 0.02).astype(np.float32)
+
+    # top_p -> 0 keeps only the argmax after renormalization: deterministic.
+    ref_out = ref_nucleus.generate_nucleus_sampling(
+        _RefModelWrapper(hf), tok, torch.tensor(prefix),
+        number_to_generate=1, top_p=1e-9, temperature=1.0, entry_length=12,
+    )
+    ours = generate_nucleus_sampling(
+        model, tok, jnp.asarray(prefix),
+        number_to_generate=1, top_p=1e-9, temperature=1.0, entry_length=12,
+        dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    assert ours[0] == ref_out[0], (ours, ref_out)
+
+
+def test_beam_decoder_matches_reference_code():
+    import torch
+
+    _, _, ref_base = _load_reference_decoders()
+    hf, model, tok = _tiny_pair()
+
+    from clipcap_tpu.inference.generate import generate_beam
+
+    rng = np.random.default_rng(3)
+    prefix = (rng.normal(size=(1, 4, 64)) * 0.02).astype(np.float32)
+
+    ref_out = ref_base.generate_beam(
+        _RefModelWrapper(hf), tok, torch.tensor(prefix),
+        beam_size=4, entry_length=10, temperature=1.0,
+    )
+    ours = generate_beam(
+        model, tok, jnp.asarray(prefix),
+        beam_size=4, entry_length=10, temperature=1.0,
+        number_to_generate=4,
+        dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    # Reference returns the single best caption (list of generations per
+    # sample); ours returns candidates best-first.
+    ref_best = ref_out[0] if isinstance(ref_out, list) else ref_out
+    assert ours[0] == ref_best, (ours, ref_best)
