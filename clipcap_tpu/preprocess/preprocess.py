@@ -99,6 +99,9 @@ def preprocess(args: Namespace) -> int:
 
 
 def start_preprocess() -> int:
+    from clipcap_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()  # multi-host pods; no-op on a single host
     parser = ArgumentParser(description=__doc__, formatter_class=ArgumentDefaultsHelpFormatter)
     parser = add_preprocess_args(parser)
     parser = add_encoder_args(parser)

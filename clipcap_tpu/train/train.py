@@ -161,6 +161,9 @@ def train(args: Namespace) -> int:
 
 
 def start_training() -> int:
+    from clipcap_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()  # multi-host pods; no-op on a single host
     parser = ArgumentParser(description=__doc__, formatter_class=ArgumentDefaultsHelpFormatter)
     parser = add_training_args(parser)
     parser = add_model_args(parser)

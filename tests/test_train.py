@@ -254,3 +254,12 @@ def test_sharded_beam_serving_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(sharded.tokens))
     np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(sharded.scores),
                                atol=1e-5)
+
+
+def test_maybe_initialize_single_host_noop(monkeypatch):
+    from clipcap_tpu.parallel import distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert distributed.maybe_initialize() is False  # no coordinator: no-op
