@@ -79,7 +79,11 @@ def init_mapper(cfg: MapperConfig, seed: int = 0) -> Params:
             out["b"] = jnp.stack(bs)
         return out
 
-    lw, lb = torch_linear_init(rng, cfg.encoder_embedding_size, cfg.n_proj_tokens * D)
+    # E → projection_length·D for BOTH variants (reference mapper.py:119,140):
+    # the windowed mapper applies the same per-window projection to each of
+    # the W windows and flattens to n_proj_tokens afterwards.
+    lw, lb = torch_linear_init(rng, cfg.encoder_embedding_size,
+                               cfg.projection_length * D)
 
     params: Params = {
         "linear": {"w": lw, "b": lb},

@@ -176,3 +176,58 @@ def test_sampler_partitions():
     assert parts[0] == [0, 3, 6, 9]
     assert parts[1] == [1, 4, 7]
     assert sorted(sum(parts, [])) == items
+
+
+def test_windowed_end_to_end(tmp_path):
+    """Windowed embeddings through the FULL pipeline: preprocess (tiled
+    encoder output [N, W+1, E]) -> train a windowed mapper (learned pos
+    embeddings over (W+1)·proj_len prefix slots, reference mapper.py:133-160)
+    -> load -> caption."""
+    import jax.numpy as jnp
+    import yaml
+
+    from clipcap_tpu.inference.generate import generate_beam
+    from clipcap_tpu.models.clipcap import load
+    from clipcap_tpu.utils.tokenizer import ByteTokenizer
+
+    data = _make_files_dataset(tmp_path / "raw", n=8)
+    out = str(tmp_path / "win_ds")
+    rc = _run_preprocess([
+        "--input-dataset", data, "--output-folder", out,
+        "--input-format", "files", "--batch-size", "4", "--workers", "1",
+        "--encoder-model-name", "clip", "--encoder-model-variant", "test-tiny",
+        "--use-windowed-embeddings", "true", "--window-size", "4",
+    ])
+    assert rc == 0
+    embeds = np.load(os.path.join(out, "embeddings", "embeds_0.npy"))
+    assert embeds.shape == (8, 5, 32)
+
+    from clipcap_tpu.models.args import add_model_args
+    from clipcap_tpu.train.args import add_training_args
+    from clipcap_tpu.train.train import train as run_train
+
+    models_out = str(tmp_path / "win_models")
+    parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+    parser = add_training_args(parser)
+    parser = add_model_args(parser)
+    args = parser.parse_args([
+        "--input-dataset", out, "--output-folder", models_out,
+        "--language-model", "gpt2-test", "--batch-size", "4", "--epochs", "1",
+        "--scheduler-warmup-steps", "1", "--logging-frequency", "1",
+        "--prefix-length", "4", "--projection-length", "4",
+        "--transformer-layers", "2", "--transformer-attention-heads", "4",
+    ])
+    assert run_train(args) == 0
+
+    with open(os.path.join(models_out, "clipcap_config.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    assert cfg["encoder_config"]["use_windowed_embeddings"] is True
+
+    model, _ = load(os.path.join(models_out, "clipcap_final.npz"),
+                    os.path.join(models_out, "clipcap_config.yaml"))
+    assert model.mapper_config.windowed
+    prefix = model.transformer_mapper(jnp.asarray(embeds[:1]))  # [1, W, E] in
+    assert prefix.shape == (1, 4, model.lm_config.n_embd)
+    caps = generate_beam(model, ByteTokenizer(), prefix,
+                         beam_size=3, entry_length=8, number_to_generate=2)
+    assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
