@@ -33,4 +33,10 @@ def add_eval_args(parser: ArgumentParser) -> ArgumentParser:
         "--save-predictions", type=str, default=None,
         help="Optional path to dump generated {filename: caption} json.",
     )
+    ev.add_argument(
+        "--eval-batch-size", type=int, default=32,
+        help="Samples per device batch during generation (the whole "
+             "encoder->mapper->decode chain runs batched; the reference "
+             "evaluates one sample at a time).",
+    )
     return parser

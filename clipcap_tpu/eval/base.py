@@ -24,7 +24,6 @@ from clipcap_tpu.eval.dataset import EvalDataset
 from clipcap_tpu.eval.metrics import evaluate_metrics_from_lists
 from clipcap_tpu.encoders.base import get_encoder_from_model
 from clipcap_tpu.inference.args import add_inference_args
-from clipcap_tpu.inference.generate import generate_nucleus_sampling
 from clipcap_tpu.models.clipcap import load
 from clipcap_tpu.utils.braceexpand import braceexpand
 
@@ -39,9 +38,18 @@ def prepare_model(args: Namespace):
 
 
 def generate_predictions(args: Namespace) -> dict:
-    """The generation loop the reference disabled (eval/base.py:35-77)."""
+    """The generation loop the reference disabled (eval/base.py:35-77) —
+    batched across samples: the whole (encoder → mapper → nucleus-decode)
+    chain runs ``eval_batch_size`` samples × ``number_to_generate``
+    candidates per XLA dispatch instead of the reference's one-sample-at-a-
+    time loop (decode is HBM-bound on LM weight reads, so batching is the
+    difference between ~2 and >100 captions/s on a v5e chip)."""
+    import jax
     import jax.numpy as jnp
     import tqdm
+
+    from clipcap_tpu.inference.engine import SamplingParams, decode
+    from clipcap_tpu.inference.generate import _decode_texts
 
     model, tokenizer, encode_method, sample_processor = prepare_model(args)
 
@@ -54,21 +62,53 @@ def generate_predictions(args: Namespace) -> dict:
             print(f"warning: cannot decode '{path}' ({e}), skipping")
             return None
 
+    n_gen = max(1, args.number_to_generate)
+    eb = max(1, getattr(args, "eval_batch_size", 32) or 32)
+    sp = SamplingParams(
+        max_new_tokens=67, temperature=args.temperature,
+        top_k=int(args.top_k) if args.top_k else 0,
+        top_p=float(args.top_p) if args.top_p else 1.0,
+        repetition_penalty=1.0, sentence_length_factor=0.0,
+        stop_token=tokenizer.encode(".")[0], include_stop_token=True,
+        mode="nucleus",
+    )
+
     dataset = EvalDataset(safe_processor, args.sample_path)
     predictions = {}
-    for filename, sample in tqdm.tqdm(dataset, desc="eval", total=len(dataset)):
+    names, samples = [], []
+    progress = tqdm.tqdm(desc="eval", total=len(dataset))
+
+    def flush():
+        if not names:
+            return
+        batch = np.stack(samples)
+        pad = eb - len(names)  # fixed batch shape: one compile for all batches
+        if pad:
+            batch = np.concatenate([batch, np.repeat(batch[:1], pad, axis=0)])
+        features = encode_method(batch)
+        prefix = model.transformer_mapper(jnp.asarray(features))
+        tiled = jnp.repeat(prefix, n_gen, axis=0)          # [eb·n, P, D]
+        result = decode(model.params["lm"], model.lm_config, tiled,
+                        jax.random.PRNGKey(args.seed), sp, dtype=jnp.float32)
+        for i, name in enumerate(names):
+            row = type(result)(tokens=result.tokens[i * n_gen:(i + 1) * n_gen],
+                               lengths=result.lengths[i * n_gen:(i + 1) * n_gen])
+            captions = _decode_texts(tokenizer, [], row)
+            sims = encode_method.similarity(samples[i], captions)
+            predictions[name] = captions[int(np.argmax(sims))]
+        progress.update(len(names))
+        names.clear()
+        samples.clear()
+
+    for filename, sample in dataset:
         if sample is None:
             continue
-        media_features = encode_method(np.asarray(sample)[None])
-        prefix = model.transformer_mapper(jnp.asarray(media_features))
-        captions = generate_nucleus_sampling(
-            model, tokenizer, prefix,
-            number_to_generate=args.number_to_generate,
-            top_p=args.top_p, top_k=args.top_k,
-            temperature=args.temperature, seed=args.seed,
-        )
-        similarities = encode_method.similarity(sample, captions)
-        predictions[filename] = captions[int(np.argmax(similarities))]
+        names.append(filename)
+        samples.append(np.asarray(sample))
+        if len(names) == eb:
+            flush()
+    flush()
+    progress.close()
     return predictions
 
 

@@ -231,3 +231,78 @@ def test_windowed_end_to_end(tmp_path):
     caps = generate_beam(model, ByteTokenizer(), prefix,
                          beam_size=3, entry_length=8, number_to_generate=2)
     assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+
+
+def test_eval_cli_end_to_end(tmp_path):
+    """Full eval stage: batched generation (encoder -> mapper -> nucleus
+    decode -> similarity rerank) + CSV join + native metric scoring — the
+    path the reference ships commented out (eval/base.py:35-80)."""
+    import pandas as pd
+
+    data = _make_files_dataset(tmp_path / "raw", n=6)
+    out = str(tmp_path / "dataset")
+    assert _run_preprocess([
+        "--input-dataset", data, "--output-folder", out,
+        "--input-format", "files", "--batch-size", "3", "--workers", "1",
+        "--encoder-model-name", "clip", "--encoder-model-variant", "test-tiny",
+    ]) == 0
+
+    from clipcap_tpu.models.args import add_model_args
+    from clipcap_tpu.train.args import add_training_args
+    from clipcap_tpu.train.train import train as run_train
+
+    models_out = str(tmp_path / "models")
+    parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+    parser = add_training_args(parser)
+    parser = add_model_args(parser)
+    assert run_train(parser.parse_args([
+        "--input-dataset", out, "--output-folder", models_out,
+        "--language-model", "gpt2-test", "--batch-size", "4", "--epochs", "1",
+        "--scheduler-warmup-steps", "1", "--prefix-length", "4",
+        "--projection-length", "4", "--transformer-layers", "2",
+        "--transformer-attention-heads", "4",
+    ])) == 0
+
+    # Eval folder: a subset of the images, references with 2 caption columns.
+    eval_dir = tmp_path / "eval_samples"
+    eval_dir.mkdir()
+    rows = []
+    for i in range(3):
+        name = f"ev_{i}.png"
+        (eval_dir / name).write_bytes(
+            _make_image_bytes(np.random.default_rng(100 + i)))
+        rows.append({"file_name": name, **{
+            f"cap_{j}": f"a tiny test image number {i} variant {j}"
+            for j in range(1, 6)}})
+    csv_path = str(tmp_path / "refs.csv")
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+    from clipcap_tpu.eval.args import add_eval_args
+    from clipcap_tpu.eval.base import eval as run_eval
+    from clipcap_tpu.inference.args import add_inference_args
+
+    parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+    parser = add_eval_args(parser)
+    parser = add_inference_args(parser)
+    preds_json = str(tmp_path / "preds.json")
+    scores_json = str(tmp_path / "scores.json")
+    args = parser.parse_args([
+        "--model-path", os.path.join(models_out, "clipcap_final.npz"),
+        "--config-path", os.path.join(models_out, "clipcap_config.yaml"),
+        "--sample-path", str(eval_dir),
+        "--reference-csv", csv_path,
+        "--csv-filename-column", "file_name",
+        "--csv-reference-caption-columns", "cap_{1..5}",
+        "--eval-batch-size", "2",  # 3 samples -> full batch + padded tail
+        "--number-to-generate", "2",
+        "--save-predictions", preds_json,
+        "--save-file", scores_json,
+    ])
+    assert run_eval(args) == 0
+
+    preds = json.load(open(preds_json))
+    assert set(preds) == {"ev_0.png", "ev_1.png", "ev_2.png"}
+    assert all(isinstance(v, str) for v in preds.values())
+    scores = json.load(open(scores_json))
+    for key in ("bleu_1", "bleu_4", "rouge_l", "cider", "meteor", "spice", "spider"):
+        assert any(key in k.lower() for k in scores), (key, scores.keys())
