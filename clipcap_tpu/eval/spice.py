@@ -46,6 +46,33 @@ CONJUNCTIONS = {"and", "or"}
 _ADJ_SUFFIXES = ("ful", "ous", "ish", "ive", "less", "able", "ible", "al",
                  "ic", "y", "ed", "en")
 
+# Common caption verbs, INFLECTED forms only — base forms ("park", "top",
+# "watch", …) double as nouns far too often in captions to risk; captions
+# overwhelmingly use 3rd-person/past/participial forms anyway.
+VERBS = {
+    "runs", "ran", "sits", "sat", "stands", "stood", "sleeps", "slept",
+    "walks", "walked", "plays", "played", "holds", "held", "wears", "wore",
+    "rides", "rode", "jumps", "jumped", "eats", "ate", "drinks", "drank",
+    "flies", "flew", "swims", "swam", "drives", "drove", "watches",
+    "watched", "carries", "carried", "catches", "caught", "throws",
+    "threw", "kicks", "kicked", "hits", "reads", "writes", "wrote",
+    "talks", "talked", "smiled", "waved", "pointed", "leans", "leaned",
+    "rests", "rested", "grazes", "grazed", "perches", "perched", "lays",
+    "lies", "hangs", "hung", "parked", "fills", "filled", "covers",
+    "covered", "topped", "surrounds", "surrounded", "stares", "grabs",
+    "pulls", "pushes",
+}
+
+
+def _is_verb(word: str, prev_word: str | None) -> bool:
+    """Heuristic POS: finite/participial verb.  -ing words are verbs unless
+    directly after an article ('a painting' is a noun)."""
+    if word in VERBS:
+        return True
+    if word.endswith("ing") and len(word) > 4 and prev_word not in ARTICLES:
+        return True
+    return False
+
 
 def _looks_adjectival(word: str, next_word: str) -> bool:
     """Heuristic POS: a word modifying a following noun."""
@@ -83,13 +110,18 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
             chunks.append(("conj", w))
             i += 1
             continue
-        # NP: optional articles, then content words until a link/end.
+        if _is_verb(w, words[i - 1] if i else None):
+            chunks.append(("link", w))
+            i += 1
+            continue
+        # NP: optional articles, then content words until a link/verb/end.
         j = i
         while j < n and words[j] in ARTICLES:
             j += 1
         content = []
         while j < n and words[j] not in PREPOSITIONS and words[j] not in COPULAS \
-                and words[j] not in CONJUNCTIONS and words[j] not in FUNCTION_WORDS:
+                and words[j] not in CONJUNCTIONS and words[j] not in FUNCTION_WORDS \
+                and not (content and _is_verb(words[j], words[j - 1])):
             content.append(words[j])
             j += 1
         if content:
@@ -126,12 +158,35 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
             if kind == "np":
                 head_a = chunks[a][1][0]
                 head_b = val[0]
-                rel = next((l for l in links if l in PREPOSITIONS), None)
+                # Relation label priority: verb, then preposition, then last
+                # link ('girl standing on court' → (girl, standing, court)).
+                rel = next((l for l in links if _is_verb(l, None)), None)
+                if rel is None:
+                    rel = next((l for l in links if l in PREPOSITIONS), None)
                 if rel is None and links:
                     rel = links[-1]
                 if rel:
                     tuples.add((head_a, rel, head_b))
                 break
+
+    # Intransitive verbs: NP V with no object NP before a conjunction/end
+    # becomes an attribute-like 2-tuple ('a cat sleeps' → (cat, sleeps)).
+    for a in range(len(chunks)):
+        if chunks[a][0] != "link" or not _is_verb(chunks[a][1], None):
+            continue
+        prev_np = next((chunks[b][1][0] for b in range(a - 1, -1, -1)
+                        if chunks[b][0] == "np"), None)
+        if prev_np is None:
+            continue
+        has_object = False
+        for b in range(a + 1, len(chunks)):
+            if chunks[b][0] == "conj":
+                break
+            if chunks[b][0] == "np":
+                has_object = True
+                break
+        if not has_object:
+            tuples.add((prev_np, chunks[a][1]))
 
     # Copular attributes: NP COP content-word
     for a in range(len(chunks) - 2):

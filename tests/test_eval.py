@@ -301,3 +301,43 @@ def test_scorers_match_reference_oracle():
         ref_r, _ = RefRouge().compute_score(gts, res)
         our_r, _ = Rouge().compute_score(gts, res)
         np.testing.assert_allclose(our_r, ref_r, rtol=1e-10, atol=1e-12)
+
+
+def test_spice_extraction_canonical_captions():
+    """Behavioral contract for the rule-based scene-graph extractor:
+    canonical caption shapes must yield the right objects, attributes, and
+    relations (subjects stay objects when followed by verbs)."""
+    from clipcap_tpu.eval.spice import extract_tuples
+
+    t = extract_tuples("a brown dog runs in the green park".split())
+    assert ("dog",) in t and ("park",) in t
+    assert ("dog", "brown") in t and ("park", "green") in t
+    assert ("dog", "runs", "park") in t
+
+    t = extract_tuples("a young girl standing on top of a tennis court".split())
+    assert ("girl",) in t and ("girl", "young") in t
+    assert ("court", "tennis") in t
+
+    # intransitive verb → attribute-like 2-tuple
+    t = extract_tuples("a cat sleeps".split())
+    assert ("cat",) in t and ("cat", "sleeps") in t
+
+    # -ing after an article is a noun, not a verb
+    t = extract_tuples("a painting of a red house".split())
+    assert ("painting",) in t and ("painting", "of", "house") in t
+
+    # copular attribute
+    t = extract_tuples("the dog is brown".split())
+    assert ("dog", "brown") in t
+
+
+def test_spice_score_sanity():
+    from clipcap_tpu.eval.spice import Spice
+
+    gts = {"a": ["a brown dog runs in the green park"] * 5}
+    res_same = {"a": ["a brown dog runs in the green park"]}
+    res_diff = {"a": ["a blue airplane flies over the ocean"]}
+    perfect, _ = Spice().compute_score(gts, res_same)
+    assert perfect == 1.0
+    poor, _ = Spice().compute_score(gts, res_diff)
+    assert poor < 0.35
