@@ -61,11 +61,13 @@ class CLAPEncoder:
     """Batched audio-embedding forward: [B, samples] → [B, 512] numpy."""
 
     def __init__(self, params, config: HTSATConfig,
-                 normalize_embeddings: bool = False, dtype=jnp.float32):
+                 normalize_embeddings: bool = False, dtype=jnp.float32,
+                 text=None):
         self.params = params
         self.config = config
         self.normalize_embeddings = normalize_embeddings
         self.embedding_size = config.embedding_dim
+        self.text = text  # (text_params, RobertaConfig) — rerank tower
 
         @jax.jit
         def _forward(params, waveforms):
@@ -75,20 +77,33 @@ class CLAPEncoder:
             return out.astype(jnp.float32)
 
         self._forward = _forward
+        self._dtype = dtype
 
     def __call__(self, batch) -> np.ndarray:
         return np.asarray(jax.device_get(self._forward(self.params, jnp.asarray(batch))))
 
+    def encode_text(self, captions) -> np.ndarray:
+        """Captions → L2-normalized joint-space embeddings [N, 512]
+        (laion_clap ``get_text_embedding``: RoBERTa pooler → projection)."""
+        from clipcap_tpu.models.htsat import clap_text_embedding
+        from clipcap_tpu.utils.roberta_tokenizer import roberta_tokenize
+
+        text_params, roberta_cfg = self.text
+        ids, mask = roberta_tokenize(captions, vocab_size=roberta_cfg.vocab_size)
+        emb = clap_text_embedding(text_params, roberta_cfg, jnp.asarray(ids),
+                                  jnp.asarray(mask), dtype=self._dtype)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return np.asarray(emb, dtype=np.float32)
+
     def similarity(self, sample, captions) -> np.ndarray:
-        """Audio↔caption rerank signal. The CLAP text tower (RoBERTa) is not
-        implemented; returns zeros so rerank degrades to first-candidate
-        (with a warning) instead of crashing — the reference demo's CLAP
-        rerank path is itself unreachable (its loader raises first)."""
-        warnings.warn(
-            "CLAP text tower not implemented — rerank similarities are zeros "
-            "(first candidate wins)."
-        )
-        return np.zeros((len(captions),), dtype=np.float32)
+        """Audio↔caption rerank signal: cosine similarity in the CLAP joint
+        space (the working version of the reference demo's rerank,
+        demo.py:47-66 — which is hard-wired to a 6-tuple forward and
+        crashes)."""
+        audio = self._forward(self.params, jnp.asarray(np.asarray(sample))[None])
+        audio = audio / np.linalg.norm(audio, axis=-1, keepdims=True)
+        text = self.encode_text(list(captions))
+        return (np.asarray(audio) @ text.T)[0]
 
 
 def get_clap_encoder(
@@ -107,8 +122,9 @@ def get_clap_encoder(
         # (its CLI default is a CLIP variant string); map unknowns to the
         # standard audio model.
         encoder_model_variant = "HTSAT-tiny"
-    params, config = load_clap(encoder_model_variant, checkpoint_path)
+    params, config, text = load_clap(encoder_model_variant, checkpoint_path)
     transform = CLAPTransform()
     model = CLAPEncoder(params, config,
-                        normalize_embeddings=normalize_embeddings, dtype=dtype)
+                        normalize_embeddings=normalize_embeddings, dtype=dtype,
+                        text=text)
     return model, transform

@@ -442,15 +442,17 @@ def htsat_params_from_laion_clap(state_dict, cfg: HTSATConfig) -> Params:
 
 
 def load_clap(variant: str = "HTSAT-tiny", checkpoint_path: Optional[str] = None):
-    """Resolve CLAP audio weights: local laion_clap checkpoint → random init.
+    """Resolve CLAP weights: local laion_clap checkpoint → random init.
 
-    Returns ``(params, config)``.
+    Returns ``(audio_params, audio_config, text)`` where ``text`` is
+    ``(text_params, RobertaConfig)`` (the rerank tower) or a random tiny one
+    when no checkpoint provides it.
     """
     import os
 
     cfg = get_htsat_config(variant)
     if cfg.name == "test-tiny":
-        return init_htsat(cfg), cfg
+        return init_htsat(cfg), cfg, init_clap_text(cfg.embedding_dim)
 
     candidates = [checkpoint_path, os.environ.get("CLIPCAP_CLAP_CHECKPOINT")]
     for cand in candidates:
@@ -459,7 +461,10 @@ def load_clap(variant: str = "HTSAT-tiny", checkpoint_path: Optional[str] = None
 
             ckpt = torch.load(cand, map_location="cpu", weights_only=False)
             sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
-            return htsat_params_from_laion_clap(sd, cfg), cfg
+            text = clap_text_params_from_laion_clap(sd)
+            if text is None:
+                text = init_clap_text(cfg.embedding_dim)
+            return htsat_params_from_laion_clap(sd, cfg), cfg, text
 
     import warnings
 
@@ -468,4 +473,85 @@ def load_clap(variant: str = "HTSAT-tiny", checkpoint_path: Optional[str] = None
         "CLIPCAP_CLAP_CHECKPOINT). Using RANDOM weights — fine for smoke "
         "tests, wrong for real audio captioning."
     )
-    return init_htsat(cfg), cfg
+    return init_htsat(cfg), cfg, init_clap_text(cfg.embedding_dim)
+
+
+# ---------------------------------------------------------------------------
+# CLAP text tower: RoBERTa + 2-layer projection into the joint space
+# (laion_clap's text branch; enables the audio demo/eval rerank the
+# reference intended at demo.py:47-66).
+# ---------------------------------------------------------------------------
+
+
+def clap_text_embedding(text_params, roberta_cfg, input_ids, attention_mask=None,
+                        *, dtype=jnp.float32, precision=None):
+    """RoBERTa pooler_output → text_projection MLP → [B, embed] (unnormalized,
+    matching laion_clap's get_text_embedding before F.normalize)."""
+    from clipcap_tpu.models.roberta import roberta_apply
+
+    _, pooled = roberta_apply(text_params["roberta"], roberta_cfg, input_ids,
+                              attention_mask, dtype=dtype, precision=precision)
+    proj = text_params["projection"]
+    h = linear(pooled, proj["fc1"]["w"], proj["fc1"]["b"], precision)
+    h = jax.nn.relu(h)
+    return linear(h, proj["fc2"]["w"], proj["fc2"]["b"], precision)
+
+
+def clap_text_params_from_laion_clap(state_dict):
+    """Import the text branch from a laion_clap checkpoint
+    (``text_branch.*`` RoBERTa + ``text_projection.{0,2}.*`` MLP).
+    Returns ``(text_params, RobertaConfig)`` or ``None`` if absent."""
+    from clipcap_tpu.models.roberta import RobertaConfig, roberta_params_from_hf
+
+    sd = {k.replace("module.", "", 1): v for k, v in state_dict.items()}
+    sd = {k.replace("model.", "", 1) if k.startswith("model.") else k: v
+          for k, v in sd.items()}
+    if not any(k.startswith("text_branch.") for k in sd):
+        return None
+
+    def _np(x):
+        return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x,
+                          dtype=np.float32)
+
+    emb = _np(sd["text_branch.embeddings.word_embeddings.weight"])
+    pos = _np(sd["text_branch.embeddings.position_embeddings.weight"])
+    n_layers = max(int(k.split(".")[3]) for k in sd
+                   if k.startswith("text_branch.encoder.layer.")) + 1
+    hidden = emb.shape[1]
+    inter = _np(sd["text_branch.encoder.layer.0.intermediate.dense.weight"]).shape[0]
+    heads = 12 if hidden % 12 == 0 else 8
+    cfg = RobertaConfig(vocab_size=emb.shape[0], hidden_size=hidden,
+                        num_layers=n_layers, num_heads=heads,
+                        intermediate_size=inter,
+                        max_position_embeddings=pos.shape[0])
+    roberta = roberta_params_from_hf(sd, cfg, prefix="text_branch.")
+    text_params = {
+        "roberta": roberta,
+        "projection": {
+            "fc1": {"w": jnp.asarray(_np(sd["text_projection.0.weight"]).T),
+                    "b": jnp.asarray(_np(sd["text_projection.0.bias"]))},
+            "fc2": {"w": jnp.asarray(_np(sd["text_projection.2.weight"]).T),
+                    "b": jnp.asarray(_np(sd["text_projection.2.bias"]))},
+        },
+    }
+    return text_params, cfg
+
+
+def init_clap_text(embed_dim: int = 512, seed: int = 7):
+    """Random tiny text tower (offline smoke / test-tiny preset)."""
+    from clipcap_tpu.models.roberta import RobertaConfig, init_roberta
+
+    cfg = RobertaConfig(vocab_size=1024, hidden_size=64, num_layers=2,
+                        num_heads=4, intermediate_size=128,
+                        max_position_embeddings=80, name="roberta-test")
+    rng = np.random.default_rng(seed)
+    text_params = {
+        "roberta": init_roberta(cfg, seed=seed),
+        "projection": {
+            "fc1": {"w": jnp.asarray(rng.normal(0, 0.02, (64, embed_dim)).astype(np.float32)),
+                    "b": jnp.zeros((embed_dim,), jnp.float32)},
+            "fc2": {"w": jnp.asarray(rng.normal(0, 0.02, (embed_dim, embed_dim)).astype(np.float32)),
+                    "b": jnp.zeros((embed_dim,), jnp.float32)},
+        },
+    }
+    return text_params, cfg

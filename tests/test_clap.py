@@ -163,3 +163,29 @@ def test_clap_preprocess_pipeline(tmp_path):
     caps = pd.read_parquet(os.path.join(out, "captions", "captions_0.parquet"))
     assert embeds.shape[0] == 4 and embeds.shape[1] == 16
     assert len(caps) == 4
+
+
+def test_clap_text_tower_and_similarity(tmp_path):
+    """The CLAP rerank path: tokenize captions -> RoBERTa -> projection ->
+    cosine similarity against the audio embedding (the working version of
+    the reference demo's crash-prone rerank, demo.py:47-66)."""
+    import numpy as np
+
+    from clipcap_tpu.encoders.clap import get_clap_encoder
+
+    model, transform = get_clap_encoder("test-tiny")
+
+    # text embeddings: right shape, unit norm, deterministic
+    embs = model.encode_text(["a dog barks", "rain falls on a roof"])
+    assert embs.shape == (2, model.embedding_size)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=-1), 1.0, atol=1e-5)
+    embs2 = model.encode_text(["a dog barks", "rain falls on a roof"])
+    np.testing.assert_allclose(embs, embs2, atol=0)
+
+    # similarity: one score per caption, in [-1, 1]
+    rng = np.random.default_rng(0)
+    wave = rng.normal(size=(transform.num_samples,)).astype(np.float32) \
+        if hasattr(transform, "num_samples") else rng.normal(size=(48000,)).astype(np.float32)
+    sims = model.similarity(wave, ["a dog barks", "rain falls", "silence"])
+    assert sims.shape == (3,)
+    assert np.all(np.abs(sims) <= 1.0 + 1e-5)

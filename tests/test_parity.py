@@ -419,3 +419,44 @@ def test_beam_decoder_matches_reference_code():
     # sample); ours returns candidates best-first.
     ref_best = ref_out[0] if isinstance(ref_out, list) else ref_out
     assert ours[0] == ref_best, (ours, ref_best)
+
+
+def test_roberta_matches_hf():
+    """CLAP text tower: our RoBERTa forward vs HF RobertaModel, same random
+    weights through the real import path, padded batch included."""
+    from transformers import RobertaConfig as HFRobertaConfig, RobertaModel
+
+    from clipcap_tpu.models.roberta import (
+        roberta_apply, roberta_config_from_hf, roberta_params_from_hf,
+    )
+
+    torch.manual_seed(0)
+    hf_cfg = HFRobertaConfig(vocab_size=120, hidden_size=32,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             intermediate_size=64, max_position_embeddings=24,
+                             type_vocab_size=1, pad_token_id=1)
+    hf = RobertaModel(hf_cfg).eval()
+
+    cfg = roberta_config_from_hf(hf_cfg)
+    params = roberta_params_from_hf(hf.state_dict(), cfg)
+
+    ids = np.array([[0, 10, 11, 12, 2, 1, 1, 1],
+                    [0, 55, 2, 1, 1, 1, 1, 1]], np.int64)
+    mask = (ids != 1).astype(np.int64)
+
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask))
+
+    hidden, pooled = roberta_apply(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    # pad positions may differ (HF computes them; values are unused) — compare
+    # real positions only.
+    for b in range(ids.shape[0]):
+        real = mask[b].astype(bool)
+        np.testing.assert_allclose(
+            np.asarray(hidden)[b][real],
+            out.last_hidden_state.numpy()[b][real], atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(pooled), out.pooler_output.numpy(),
+                               atol=2e-5, rtol=2e-5)
