@@ -43,6 +43,16 @@ ASSETS = {
         "https://huggingface.co/gpt2/resolve/main/merges.txt",
         "~/.cache/clipcap_tpu/gpt2/merges.txt",
     ),
+    # CLAP text-tower tokenizer (exact audio rerank; point
+    # CLIPCAP_ROBERTA_TOKENIZER at the download dir).
+    "roberta-vocab": (
+        "https://huggingface.co/roberta-base/resolve/main/vocab.json",
+        "~/.cache/clipcap_tpu/roberta/vocab.json",
+    ),
+    "roberta-merges": (
+        "https://huggingface.co/roberta-base/resolve/main/merges.txt",
+        "~/.cache/clipcap_tpu/roberta/merges.txt",
+    ),
 }
 
 
