@@ -3,9 +3,10 @@
 Reference parity with the *designed* path of
 /root/reference/clipcap/eval/base.py:34-118 — which ships with generation
 commented out and predictions hardcoded to ``eval2.json`` (:35-80, a
-documented defect).  Here the generation loop is ENABLED: per eval sample,
+documented defect).  Here the generation loop is ENABLED and batched:
 encoder forward → mapper prefix → nucleus sampling → encoder-similarity
-rerank → prediction; ``--predictions-json`` reproduces the score-only mode.
+rerank, ``--eval-batch-size`` samples per device dispatch;
+``--predictions-json`` reproduces the score-only mode.
 Scores come from the native metric harness (BLEU/METEOR/ROUGE-L/CIDEr/
 SPICE/SPIDEr — no Java).
 """
@@ -14,7 +15,6 @@ from __future__ import annotations
 import json
 from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser, Namespace
 from pprint import pprint
-from typing import Callable, Tuple
 
 import numpy as np
 import pandas as pd

@@ -15,9 +15,7 @@ Pallas interpret mode automatically.
 """
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Any, Callable, NamedTuple, Optional, Union
+from typing import Any, Callable, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
