@@ -341,3 +341,21 @@ def test_spice_score_sanity():
     assert perfect == 1.0
     poor, _ = Spice().compute_score(gts, res_diff)
     assert poor < 0.35
+
+
+def test_generate_scores_standalone_driver():
+    """utils/scoring.py (reference utils/scoring.py:4-40): all five scorers,
+    per-item score dicts in the reference's output shape."""
+    from clipcap_tpu.utils.scoring import generate_scores
+
+    gts = {"x": ["a dog runs in the park"] * 5,
+           "y": ["a cat sleeps on the couch"] * 5}
+    res = {"x": ["a dog runs in the park"], "y": ["a bird flies away"]}
+    out = generate_scores(gts, res)
+    methods = [o["method"] for o in out]
+    assert methods == ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+                       "METEOR", "ROUGE_L", "CIDEr", "SPICE"]
+    for o in out:
+        assert len(list(o["scores"])) == 2
+    bleu1 = out[0]
+    assert bleu1["scores"][0] > 0.99  # exact match
