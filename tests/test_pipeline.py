@@ -306,3 +306,72 @@ def test_eval_cli_end_to_end(tmp_path):
     scores = json.load(open(scores_json))
     for key in ("bleu_1", "bleu_4", "rouge_l", "cider", "meteor", "spice", "spider"):
         assert any(key in k.lower() for k in scores), (key, scores.keys())
+
+
+def test_load_reference_torch_checkpoint(tmp_path):
+    """load() must accept a reference-layout torch checkpoint
+    ('transformer_mapper.*' + 'language_model.*' keys, model/load.py:29-34)
+    and produce the same captions as the in-framework weights."""
+    import torch
+    import yaml
+    import jax.numpy as jnp
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from clipcap_tpu.config import Config, EncoderConfig, save_yaml_config
+    from clipcap_tpu.inference.generate import generate_beam
+    from clipcap_tpu.models.clipcap import load
+    from clipcap_tpu.utils.tokenizer import ByteTokenizer
+
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(HFConfig(vocab_size=50257, n_positions=128, n_embd=64,
+                                  n_layer=2, n_head=4)).eval()
+
+    # Reference-style mapper weights (TransformerMapper state dict layout).
+    D, E, P = 64, 16, 4
+    mapper_sd = {
+        "transformer_mapper.linear.weight": torch.randn(P * D, E) * 0.02,
+        "transformer_mapper.linear.bias": torch.zeros(P * D),
+        "transformer_mapper.prefix_const": torch.randn(P, D),
+    }
+    for i in range(2):
+        pre = f"transformer_mapper.transformer.layers.{i}."
+        mapper_sd.update({
+            pre + "norm1.weight": torch.ones(D), pre + "norm1.bias": torch.zeros(D),
+            pre + "attn.to_queries.weight": torch.randn(D, D) * 0.02,
+            pre + "attn.to_keys_values.weight": torch.randn(2 * D, D) * 0.02,
+            pre + "attn.project.weight": torch.randn(D, D) * 0.02,
+            pre + "attn.project.bias": torch.zeros(D),
+            pre + "norm2.weight": torch.ones(D), pre + "norm2.bias": torch.zeros(D),
+            pre + "mlp.fc1.weight": torch.randn(2 * D, D) * 0.02,
+            pre + "mlp.fc1.bias": torch.zeros(2 * D),
+            pre + "mlp.fc2.weight": torch.randn(D, 2 * D) * 0.02,
+            pre + "mlp.fc2.bias": torch.zeros(D),
+        })
+    sd = dict(mapper_sd)
+    sd.update({f"language_model.{k}": v for k, v in hf.state_dict().items()})
+
+    ckpt_path = str(tmp_path / "reference_model.pt")
+    torch.save(sd, ckpt_path)
+
+    config = Config(language_model="gpt2-test", prefix_length=P,
+                    projection_length=P, transformer_layers=2,
+                    transformer_attention_heads=4,
+                    encoder_config=EncoderConfig(encoder_embedding_size=E))
+    # gpt2-test preset must match the HF dims used above
+    cfg_path = str(tmp_path / "config.yaml")
+    save_yaml_config(config, cfg_path)
+
+    model, tok = load(ckpt_path, cfg_path)
+    # LM weights actually came from the torch checkpoint
+    np.testing.assert_allclose(
+        np.asarray(model.params["lm"]["wte"]),
+        hf.state_dict()["transformer.wte.weight"].numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(model.params["mapper"]["prefix_const"]),
+        mapper_sd["transformer_mapper.prefix_const"].numpy(), atol=1e-6)
+
+    emb = jnp.asarray(np.random.default_rng(0).normal(size=(1, E)), jnp.float32)
+    prefix = model.transformer_mapper(emb)
+    caps = generate_beam(model, ByteTokenizer(), prefix, beam_size=3,
+                         entry_length=6, number_to_generate=1)
+    assert caps and isinstance(caps[0], str)
