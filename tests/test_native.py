@@ -113,3 +113,21 @@ def test_get_tokenizer_prefers_native():
     from clipcap_tpu.native.ptb_tokenizer import PTBTokenizer as CTok
 
     assert isinstance(get_tokenizer(), CTok)
+
+
+def test_native_meteor_thread_safety():
+    """The reference serializes its METEOR Java subprocess behind a lock
+    (meteor.py:30). Our C++ core is stateless (const tables only) — verify
+    concurrent scoring from many threads matches single-threaded results."""
+    import concurrent.futures
+
+    from clipcap_tpu.eval.meteor import get_meteor
+
+    m = get_meteor()
+    pairs = [(f"a dog runs in the park {i}", [f"the dog is running in a park {i}"])
+             for i in range(32)]
+    expected = [m.score_segment(h, r) for h, r in pairs]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        got = list(ex.map(lambda p: m.score_segment(*p), pairs))
+    assert got == expected

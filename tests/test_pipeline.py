@@ -375,3 +375,21 @@ def test_load_reference_torch_checkpoint(tmp_path):
     caps = generate_beam(model, ByteTokenizer(), prefix, beam_size=3,
                          entry_length=6, number_to_generate=1)
     assert caps and isinstance(caps[0], str)
+
+
+def test_preprocess_warns_and_continues_on_corrupt_media(tmp_path):
+    """Fault tolerance parity (reference wds.handlers.warn_and_continue,
+    reader.py:89,123): a corrupt image must be skipped, not crash the run."""
+    data = _make_files_dataset(tmp_path / "raw", n=4)
+    (tmp_path / "raw" / "sample_999.png").write_bytes(b"not an image at all")
+    (tmp_path / "raw" / "sample_999.txt").write_text("caption of junk")
+
+    out = str(tmp_path / "dataset")
+    rc = _run_preprocess([
+        "--input-dataset", data, "--output-folder", out,
+        "--input-format", "files", "--batch-size", "2", "--workers", "1",
+        "--encoder-model-name", "clip", "--encoder-model-variant", "test-tiny",
+    ])
+    assert rc == 0
+    embeds = np.load(os.path.join(out, "embeddings", "embeds_0.npy"))
+    assert embeds.shape[0] == 4  # corrupt sample dropped, good ones kept
