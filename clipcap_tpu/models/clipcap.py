@@ -114,20 +114,23 @@ def clipcap_forward(
     dtype=jnp.float32,
     precision=None,
     remat: bool = False,
+    return_logits: bool = True,
 ) -> Array:
     """Concat prefix + token embeddings, run the LM. Returns logits
-    [B, prefix+T, V]."""
+    [B, prefix+T, V] (or the final hidden states when
+    ``return_logits=False`` — the loss projects them in chunks)."""
     token_embeddings = gpt2_embed_tokens(params["lm"], tokens, dtype)
     prefix = mapper_apply(params["mapper"], mapper_cfg, embeddings,
                           dtype=dtype, precision=precision)
     inputs_embeds = jnp.concatenate([prefix, token_embeddings], axis=1)
     prefix_mask = jnp.ones(prefix.shape[:2], dtype=bool)
     full_mask = jnp.concatenate([prefix_mask, mask.astype(bool)], axis=1)
-    logits, _ = gpt2_apply(
+    out, _ = gpt2_apply(
         params["lm"], lm_cfg, inputs_embeds=inputs_embeds,
         attention_mask=full_mask, dtype=dtype, precision=precision, remat=remat,
+        return_logits=return_logits,
     )
-    return logits
+    return out
 
 
 def clipcap_loss(
@@ -161,17 +164,46 @@ def clipcap_loss(
     mask = tokens >= 0
     safe_tokens = jnp.where(mask, tokens, 0)
 
-    logits = clipcap_forward(
+    hidden = clipcap_forward(
         params, lm_cfg, mapper_cfg, safe_tokens, embeddings, mask,
-        dtype=dtype, precision=precision, remat=remat,
+        dtype=dtype, precision=precision, remat=remat, return_logits=False,
     )
     # Predict token t from position prefix_length-1+t (model.py:108).
     T = tokens.shape[1]
-    pred = logits[:, prefix_length - 1 : prefix_length - 1 + T].astype(jnp.float32)
-    logp = jax.nn.log_softmax(pred, axis=-1)
-    tok_logp = jnp.take_along_axis(logp, safe_tokens[..., None], axis=-1)[..., 0]
+    pred_h = hidden[:, prefix_length - 1 : prefix_length - 1 + T]  # [B,T,D]
+    wte = params["lm"]["wte"]
+
+    # Chunked cross-entropy: the full [B, T, V] fp32 logits tensor is the
+    # training-memory hog (batch 256 × 64 tokens × 50k vocab ≈ 3.8 GB per
+    # live copy — measured HBM OOM).  Project chunks of positions under
+    # jax.checkpoint so the backward pass recomputes each chunk's logits
+    # instead of keeping them all resident.
+    chunk = 16
+    pad_t = (-T) % chunk
+    if pad_t:
+        pred_h = jnp.pad(pred_h, ((0, 0), (0, pad_t), (0, 0)))
+        safe_tokens = jnp.pad(safe_tokens, ((0, 0), (0, pad_t)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad_t)))
+    n_chunks = pred_h.shape[1] // chunk
+    B = pred_h.shape[0]
+    hc = pred_h.reshape(B, n_chunks, chunk, -1).transpose(1, 0, 2, 3)
+    tc = safe_tokens.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    mc = mask.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_nll(h, t, m):
+        logits = jnp.dot(h, wte.T.astype(h.dtype), precision=precision)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tl = jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+        return -(tl * m.astype(jnp.float32)).sum()
+
+    def scan_fn(acc, xs):
+        h, t, m = xs
+        return acc + chunk_nll(h, t, m), None
+
+    nll, _ = jax.lax.scan(scan_fn, jnp.float32(0.0), (hc, tc, mc))
     weights = mask.astype(jnp.float32)
-    return -(tok_logp * weights).sum() / jnp.maximum(weights.sum(), 1.0)
+    return nll / jnp.maximum(weights.sum(), 1.0)
 
 
 # ---------------------------------------------------------------------------

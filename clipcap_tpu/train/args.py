@@ -42,6 +42,9 @@ def add_training_args(parser: ArgumentParser) -> ArgumentParser:
     training.add_argument("--profile-dir", type=str, default=None,
                           help="Capture a jax.profiler trace of early post-compile steps "
                                "into this directory (view with TensorBoard/xprof).")
+    training.add_argument("--remat", type=str2bool, default=None,
+                          help="Activation rematerialization. Default: auto (on for "
+                               "finetuning or per-chip batches >= 128).")
 
     data = parser.add_argument_group("data")
     data.add_argument("--input-dataset", type=str, default="./dataset/",

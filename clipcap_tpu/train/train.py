@@ -86,12 +86,21 @@ def train(args: Namespace) -> int:
 
     emb_ndim = 3 if encoder_config.use_windowed_embeddings else 2
     zero1 = args.zero1_optimizer_sharding or args.enable_deepspeed
+    # Rematerialization policy: finetuning always needs it; prefix-only
+    # needs it once per-chip batches are large (activation residuals OOM a
+    # 16 GB chip around global batch 256 for gpt2 — measured). --remat
+    # overrides in either direction.
+    if args.remat is None:
+        per_chip = args.batch_size // max(1, len(devices))
+        remat = args.train_language_model or per_chip >= 128
+    else:
+        remat = args.remat
     step_fn, state = make_train_step(
         mesh, state, tx, model.lm_config, model.mapper_config,
         prefix_length=model_config.prefix_length,
         embeddings_ndim=emb_ndim,
         dtype=compute_dtype,
-        remat=args.train_language_model,  # finetune needs the memory headroom
+        remat=remat,
         zero1=zero1,
         freeze_lm=not args.train_language_model,
     )
