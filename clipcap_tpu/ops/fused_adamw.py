@@ -12,6 +12,13 @@ update, decoupled weight decay) — cross-tested in tests/test_pallas.py.
 
 Runs compiled on TPU; everywhere else (tests on the CPU mesh) it runs in
 Pallas interpret mode automatically.
+
+**Measured verdict (v5e, gpt2 full finetune, batch 128): optax.adamw is
+FASTER in-network** (89 vs 105 ms/step) — XLA already fuses the optax
+update chain, and one pallas_call per parameter leaf (~150 for GPT-2) adds
+dispatch overhead the single-pass kernel doesn't win back at these sizes.
+Kept as the opt-in ``--fused-optimizer`` with exact optax numerics; the
+trade may flip for models with few, huge leaves.
 """
 from __future__ import annotations
 
