@@ -38,6 +38,29 @@ class Runner:
         reader = self.reader_builder(sampler)
         writer = self.writer_builder(i)
         mapper = self.mapper_builder()
-        for batch in reader:
-            writer(mapper(batch))
-        writer.flush()
+
+        # Section telemetry (utils/profiling.Timer): where a partition's
+        # wall-clock goes — host decode (reader) vs device forward (mapper)
+        # vs write.  The reference has no observability here at all.
+        from clipcap_tpu.utils.profiling import Timer
+
+        timer = Timer()
+        samples = 0
+        it = iter(reader)
+        while True:
+            with timer.section("read/decode"):
+                batch = next(it, None)
+            if batch is None:
+                break
+            with timer.section("encode"):
+                embeddings = mapper(batch)
+            with timer.section("write"):
+                writer(embeddings)
+            samples += len(embeddings)
+        with timer.section("write"):
+            writer.flush()
+        totals = timer.summary()
+        wall = max(sum(totals.values()), 1e-9)
+        parts = ", ".join(f"{k} {v:.1f}s" for k, v in totals.items())
+        print(f"partition {i}: {samples} samples in {wall:.1f}s "
+              f"({samples / wall:.1f}/s; {parts})")
