@@ -9,6 +9,12 @@ setup(
         "preprocess/train/inference/eval CLIs"
     ),
     packages=find_packages(include=["clipcap_tpu", "clipcap_tpu.*"]),
+    # Ship the C++ scorer sources + Makefile so the native extension can
+    # auto-build on first use (clipcap_tpu.native.build); the reference
+    # instead packaged Java jars (its setup.py:20).
+    package_data={
+        "clipcap_tpu.native": ["Makefile", "src/*.cpp", "src/*.h"],
+    },
     python_requires=">=3.10",
     install_requires=[
         "jax",
@@ -32,6 +38,7 @@ setup(
             "clipcap-train=clipcap_tpu.train.train:start_training",
             "clipcap-inference=clipcap_tpu.inference.demo:run_inference_demo",
             "clipcap-eval=clipcap_tpu.eval.base:run_eval",
+            "clipcap-finetune=clipcap_tpu.finetune:start_finetuning",
             "clipcap-init=clipcap_tpu.init.base:init",
         ]
     },
