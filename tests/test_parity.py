@@ -460,3 +460,36 @@ def test_roberta_matches_hf():
             out.last_hidden_state.numpy()[b][real], atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(pooled), out.pooler_output.numpy(),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_no_beam_with_text_prefix_matches_reference_code():
+    """VQA-style text prefix (reference no_beam.py:29-33): prefix token
+    embeddings concat after the mapper prefix, and the prefix tokens seed
+    the repetition-penalty buffer. Token-for-token vs the reference code."""
+    import torch
+
+    ref_no_beam, _, _ = _load_reference_decoders()
+    hf, model, tok = _tiny_pair()
+
+    from clipcap_tpu.inference.generate import generate_no_beam
+
+    rng = np.random.default_rng(11)
+    prefix = (rng.normal(size=(1, 4, 64)) * 0.02).astype(np.float32)
+    text_prefix = np.array([[50256, 64, 65, 66]], np.int64)  # bos + 3 tokens
+
+    ref_out = ref_no_beam.generate_no_beam(
+        _RefModelWrapper(hf), tok, torch.tensor(prefix),
+        text_prefix_tokens=torch.tensor(text_prefix),
+        number_to_generate=1, top_k=1, top_p=0.0, temperature=1.0,
+        repetition_penalty=1.2, desired_sentence_length=8,
+        sentence_length_factor=1.0, entry_length=10,
+    )
+    ours = generate_no_beam(
+        model, tok, jnp.asarray(prefix),
+        text_prefix_tokens=jnp.asarray(text_prefix, jnp.int32),
+        number_to_generate=1, top_k=1, top_p=0.0, temperature=1.0,
+        repetition_penalty=1.2, desired_sentence_length=8,
+        sentence_length_factor=1.0, entry_length=10,
+        dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    assert ours[0] == ref_out[0], (ours, ref_out)
