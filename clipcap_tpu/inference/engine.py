@@ -83,8 +83,11 @@ def _select_token(logits: Array, rng: Array, sp: SamplingParams) -> Array:
     if sp.mode == "greedy":
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if sp.mode == "nucleus":
-        probs = sampling.nucleus_renormalize(logits, sp.top_k, sp.top_p)
-        return sampling.sample_categorical(rng, probs).astype(jnp.int32)
+        return sampling.nucleus_sample(rng, logits, sp.top_k, sp.top_p).astype(jnp.int32)
+    if sp.top_k or sp.top_p:
+        # Tail already filtered to -inf: draw in the compact top-k domain
+        # (full-vocab categorical generates 26M Gumbels/step at batch 512).
+        return sampling.filtered_sample(rng, logits, live_k=int(sp.top_k)).astype(jnp.int32)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
