@@ -34,6 +34,11 @@ def add_eval_args(parser: ArgumentParser) -> ArgumentParser:
         help="Optional path to dump generated {filename: caption} json.",
     )
     ev.add_argument(
+        "--fp-precision", type=int, default=32,
+        help="Generation compute precision: 16 = bfloat16 (≈2x faster decode), "
+             "32 = float32 (reference-faithful).",
+    )
+    ev.add_argument(
         "--eval-batch-size", type=int, default=32,
         help="Samples per device batch during generation (the whole "
              "encoder->mapper->decode chain runs batched; the reference "

@@ -73,6 +73,7 @@ def generate_predictions(args: Namespace) -> dict:
         mode="nucleus",
     )
 
+    gen_dtype = jnp.bfloat16 if getattr(args, "fp_precision", 32) == 16 else jnp.float32
     dataset = EvalDataset(safe_processor, args.sample_path)
     predictions = {}
     names, samples = [], []
@@ -89,7 +90,7 @@ def generate_predictions(args: Namespace) -> dict:
         prefix = model.transformer_mapper(jnp.asarray(features))
         tiled = jnp.repeat(prefix, n_gen, axis=0)          # [eb·n, P, D]
         result = decode(model.params["lm"], model.lm_config, tiled,
-                        jax.random.PRNGKey(args.seed), sp, dtype=jnp.float32)
+                        jax.random.PRNGKey(args.seed), sp, dtype=gen_dtype)
         for i, name in enumerate(names):
             row = type(result)(tokens=result.tokens[i * n_gen:(i + 1) * n_gen],
                                lengths=result.lengths[i * n_gen:(i + 1) * n_gen])
