@@ -253,3 +253,37 @@ def test_beam_search_batched_matches_single():
                                       np.asarray(single.tokens))
         np.testing.assert_allclose(np.asarray(batched.scores[i]),
                                    np.asarray(single.scores), rtol=1e-5)
+
+
+def test_top_p_prefilter_window_semantics(monkeypatch):
+    """The top-p window (ops/sampling._TOPP_PREFILTER) is exact whenever the
+    nucleus cutoff lands inside it; on pathologically flat rows the nucleus
+    truncates gracefully to the window (never keeps garbage, never crashes)."""
+    monkeypatch.setattr(sampling, "_TOPP_PREFILTER", 8)
+
+    # Peaked: nucleus fits the window -> exact vs the sort-based construction.
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(3, 40)).astype(np.float32)
+    logits[:, :4] += 10.0  # 4 dominant tokens; cutoff well inside 8
+    out = np.asarray(sampling.top_k_top_p_filter(jnp.asarray(logits), 0, 0.9))
+
+    for b in range(3):
+        row = logits[b]
+        order = np.argsort(-row, kind="stable")
+        probs = np.exp(row - row.max()); probs /= probs.sum()
+        cp = np.cumsum(probs[order])
+        rm = cp > 0.9
+        rm[1:] = rm[:-1].copy(); rm[0] = False
+        expected_keep = np.ones(40, bool)
+        expected_keep[order[rm]] = False
+        np.testing.assert_array_equal(out[b] > -1e8, expected_keep)
+
+    # Flat: nucleus would need ~36 of 40 tokens; keeps exactly the window.
+    flat = np.zeros((2, 40), np.float32)
+    out = np.asarray(sampling.top_k_top_p_filter(jnp.asarray(flat), 0, 0.9))
+    assert (out > -1e8).sum(axis=-1).tolist() == [8, 8]
+
+    # nucleus_sample on flat rows: samples only within the window, no NaNs.
+    toks = np.asarray(sampling.nucleus_sample(
+        jax.random.PRNGKey(0), jnp.asarray(flat), 0, 0.9))
+    assert toks.shape == (2,) and (toks >= 0).all() and (toks < 40).all()
