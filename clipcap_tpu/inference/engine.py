@@ -83,6 +83,10 @@ def _select_token(logits: Array, rng: Array, sp: SamplingParams) -> Array:
     if sp.mode == "greedy":
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if sp.mode == "nucleus":
+        if sp.top_p >= 1.0 and not sp.top_k:
+            # No truncation requested: the candidate window would clip the
+            # distribution; sample the full vocab directly.
+            return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
         return sampling.nucleus_sample(rng, logits, sp.top_k, sp.top_p).astype(jnp.int32)
     if sp.top_k or sp.top_p:
         # Tail already filtered to -inf: draw in the compact top-k domain
