@@ -88,7 +88,7 @@ def _select_token(logits: Array, rng: Array, sp: SamplingParams) -> Array:
             # distribution; sample the full vocab directly.
             return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
         return sampling.nucleus_sample(rng, logits, sp.top_k, sp.top_p).astype(jnp.int32)
-    if sp.top_k or sp.top_p:
+    if sp.top_k or (0.0 < sp.top_p < 1.0):
         # Tail already filtered to -inf: draw in the compact top-k domain
         # (full-vocab categorical generates 26M Gumbels/step at batch 512).
         return sampling.filtered_sample(rng, logits, live_k=int(sp.top_k)).astype(jnp.int32)
