@@ -287,3 +287,23 @@ def test_top_p_prefilter_window_semantics(monkeypatch):
     toks = np.asarray(sampling.nucleus_sample(
         jax.random.PRNGKey(0), jnp.asarray(flat), 0, 0.9))
     assert toks.shape == (2,) and (toks >= 0).all() and (toks < 40).all()
+
+
+def test_top_p_one_keeps_full_vocab():
+    """top_p >= 1 must not truncate to the candidate window: the filter is a
+    no-op and sampling can reach every vocab id."""
+    V = 300  # > the (monkeypatch-free) window in spirit; logits flat
+    logits = jnp.zeros((2, V), jnp.float32)
+    out = np.asarray(sampling.top_k_top_p_filter(logits, 0, 1.0))
+    assert (out > -1e8).all()
+
+    from clipcap_tpu.inference.engine import SamplingParams, _select_token
+
+    sp = SamplingParams(mode="nucleus", top_p=1.0, top_k=0)
+    toks = set()
+    for i in range(64):
+        t = np.asarray(_select_token(logits, jax.random.PRNGKey(i), sp))
+        toks.update(t.tolist())
+    # Flat distribution over 300 ids: 128 draws collide with a tiny window;
+    # spread beyond any window size demonstrates full-vocab reach.
+    assert len(toks) > 90, len(toks)
