@@ -493,3 +493,29 @@ def test_no_beam_with_text_prefix_matches_reference_code():
         dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     assert ours[0] == ref_out[0], (ours, ref_out)
+
+
+def test_beam_temperature_matches_reference_code():
+    """Beam with temperature != 1 (scales logits before the log-softmax,
+    base.py:84) — token-for-token vs the reference's own code."""
+    import torch
+
+    _, _, ref_base = _load_reference_decoders()
+    hf, model, tok = _tiny_pair()
+
+    from clipcap_tpu.inference.generate import generate_beam
+
+    rng = np.random.default_rng(21)
+    prefix = (rng.normal(size=(1, 4, 64)) * 0.02).astype(np.float32)
+
+    ref_out = ref_base.generate_beam(
+        _RefModelWrapper(hf), tok, torch.tensor(prefix),
+        beam_size=3, entry_length=9, temperature=0.7,
+    )
+    ours = generate_beam(
+        model, tok, jnp.asarray(prefix),
+        beam_size=3, entry_length=9, temperature=0.7, number_to_generate=3,
+        dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    ref_best = ref_out[0] if isinstance(ref_out, list) else ref_out
+    assert ours[0] == ref_best, (ours, ref_best)
