@@ -177,6 +177,19 @@ class CLIPEncoder:
             out = self._forward(self.params["visual"], x)
         return np.asarray(jax.device_get(out))
 
+    def encode_text(self, captions) -> np.ndarray:
+        """Captions → L2-normalized joint-space embeddings [n, embed] —
+        the batched half of the rerank (cosine against the already-computed
+        image embeddings; avoids re-encoding images per sample)."""
+        from clipcap_tpu.models.clip_vit import clip_encode_text
+        from clipcap_tpu.utils.clip_tokenizer import tokenize
+
+        tokens = jnp.asarray(tokenize(list(captions)))
+        emb = clip_encode_text(self.params["text"], self.config.text, tokens,
+                               dtype=jnp.float32)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return np.asarray(jax.device_get(emb), dtype=np.float32)
+
     def similarity(self, sample, captions) -> np.ndarray:
         """Image↔caption similarity logits for rerank (the demo's
         dual-encoder scoring, reference demo.py:47-66).  ``sample``:

@@ -91,12 +91,29 @@ def generate_predictions(args: Namespace) -> dict:
         tiled = jnp.repeat(prefix, n_gen, axis=0)          # [eb·n, P, D]
         result = decode(model.params["lm"], model.lm_config, tiled,
                         jax.random.PRNGKey(args.seed), sp, dtype=gen_dtype)
-        for i, name in enumerate(names):
+        all_caps = []
+        for i in range(len(names)):
             row = type(result)(tokens=result.tokens[i * n_gen:(i + 1) * n_gen],
                                lengths=result.lengths[i * n_gen:(i + 1) * n_gen])
-            captions = _decode_texts(tokenizer, [], row)
-            sims = encode_method.similarity(samples[i], captions)
-            predictions[name] = captions[int(np.argmax(sims))]
+            all_caps.append(_decode_texts(tokenizer, [], row))
+
+        if hasattr(encode_method, "encode_text"):
+            # Batched rerank: one text-tower pass for ALL candidates, cosine
+            # against the sample embeddings we already computed (per-sample
+            # similarity() re-encodes the sample each call).
+            text = encode_method.encode_text([c for caps in all_caps for c in caps])
+            feats = np.asarray(features, dtype=np.float32)
+            if feats.ndim == 3:  # windowed embeddings: rerank on the global view
+                feats = feats[:, 0]
+            feats = feats / np.maximum(
+                np.linalg.norm(feats, axis=-1, keepdims=True), 1e-9)
+            for i, name in enumerate(names):
+                sims = feats[i] @ text[i * n_gen:(i + 1) * n_gen].T
+                predictions[name] = all_caps[i][int(np.argmax(sims))]
+        else:  # third-party encoders without a text tower
+            for i, name in enumerate(names):
+                sims = encode_method.similarity(samples[i], all_caps[i])
+                predictions[name] = all_caps[i][int(np.argmax(sims))]
         progress.update(len(names))
         names.clear()
         samples.clear()
