@@ -208,6 +208,16 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_graft_dryrun_multichip_self_provisions():
+    # The driver runs dryrun on a 1-chip host: when fewer devices exist than
+    # requested, the entry point must re-exec itself with a virtual CPU mesh
+    # instead of asserting (round-1 MULTICHIP failure). Requesting more than
+    # conftest's 8 devices forces the subprocess branch.
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(12)
+
+
 def test_linear_warmup_decay_schedule():
     from clipcap_tpu.train.state import linear_warmup_decay
 
