@@ -53,6 +53,13 @@ ASSETS = {
         "https://huggingface.co/roberta-base/resolve/main/merges.txt",
         "~/.cache/clipcap_tpu/roberta/merges.txt",
     ),
+    # METEOR paraphrase table (the file the reference jar loads via
+    # `-a data/paraphrase-en.gz`, meteor.py:21-28; enables the paraphrase
+    # matcher stage in both the Python and C++ METEOR cores).
+    "meteor-paraphrase-en": (
+        "https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/data/paraphrase-en.gz",
+        "~/.cache/clipcap_tpu/meteor/paraphrase-en.gz",
+    ),
 }
 
 

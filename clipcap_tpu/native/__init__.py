@@ -44,13 +44,20 @@ def load(auto_build: bool = True) -> ctypes.CDLL:
     lib.ccn_ptb_tokenize.restype = ctypes.c_void_p
     lib.ccn_free.argtypes = [ctypes.c_void_p]
     lib.ccn_free.restype = None
-    lib.ccn_meteor_stats.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+    lib.ccn_meteor_new.argtypes = [ctypes.c_char_p]
+    lib.ccn_meteor_new.restype = ctypes.c_void_p
+    lib.ccn_meteor_delete.argtypes = [ctypes.c_void_p]
+    lib.ccn_meteor_delete.restype = None
+    lib.ccn_meteor_stats.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                     ctypes.c_char_p,
                                      ctypes.POINTER(ctypes.c_double)]
     lib.ccn_meteor_stats.restype = None
     lib.ccn_meteor_score_from_stats.argtypes = [ctypes.POINTER(ctypes.c_double)]
     lib.ccn_meteor_score_from_stats.restype = ctypes.c_double
     lib.ccn_porter_stem.argtypes = [ctypes.c_char_p]
     lib.ccn_porter_stem.restype = ctypes.c_void_p
+    lib.ccn_snowball_stem.argtypes = [ctypes.c_char_p]
+    lib.ccn_snowball_stem.restype = ctypes.c_void_p
 
     _lib = lib
     return lib

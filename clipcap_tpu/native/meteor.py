@@ -1,29 +1,70 @@
 """ctypes front-end for the C++ METEOR core (drop-in for
-clipcap_tpu.eval.meteor.Meteor on the exact+stem configuration)."""
+clipcap_tpu.eval.meteor.Meteor; exact + Snowball-stem + optional
+paraphrase-table configurations).
+
+The paraphrase table is the meteor ``paraphrase-en.gz`` the reference jar
+reads (fetched by ``python -m clipcap_tpu.init``); since the C++ core reads
+plain text, a ``.txt`` sidecar is decompressed next to the ``.gz`` once.
+"""
 from __future__ import annotations
 
 import ctypes
-from typing import Dict, List, Sequence, Tuple
+import gzip
+import os
+import shutil
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from clipcap_tpu.native import load
 
-_STAT_KEYS = ("matches", "chunks", "w_matched_h", "w_matched_r", "w_len_h", "w_len_r")
+_N_STATS = 7
+
+
+def _plain_table_path(path: str) -> str:
+    """Decompress a .gz table to a cached sidecar; pass .txt through."""
+    if not path.endswith(".gz"):
+        return path
+    sidecar = path[:-3] + ".txt"
+    if not os.path.exists(sidecar) or (
+        os.path.getmtime(sidecar) < os.path.getmtime(path)
+    ):
+        tmp = sidecar + ".tmp"
+        with gzip.open(path, "rb") as src, open(tmp, "wb") as dst:
+            shutil.copyfileobj(src, dst)
+        os.replace(tmp, sidecar)
+    return sidecar
 
 
 class Meteor:
-    def __init__(self):
+    def __init__(self, paraphrase_path: Optional[str] = None):
         self._lib = load()
+        table = (
+            _plain_table_path(paraphrase_path).encode()
+            if paraphrase_path
+            else None
+        )
+        self._handle = self._lib.ccn_meteor_new(table)
+        if not self._handle:
+            raise RuntimeError(
+                f"native METEOR init failed (paraphrase table: {paraphrase_path})"
+            )
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.ccn_meteor_delete(handle)
+            self._handle = None
 
     def method(self) -> str:
         return "METEOR"
 
-    def _stats(self, hyp: str, ref: str):
-        buf = (ctypes.c_double * 6)()
-        self._lib.ccn_meteor_stats(hyp.encode("utf-8"), ref.encode("utf-8"), buf)
+    def _stats(self, hyp: str, ref: str) -> List[float]:
+        buf = (ctypes.c_double * _N_STATS)()
+        self._lib.ccn_meteor_stats(self._handle, hyp.encode("utf-8"),
+                                   ref.encode("utf-8"), buf)
         return list(buf)
 
-    def _score(self, stats) -> float:
-        buf = (ctypes.c_double * 6)(*stats)
+    def _score(self, stats: Sequence[float]) -> float:
+        buf = (ctypes.c_double * _N_STATS)(*stats)
         return float(self._lib.ccn_meteor_score_from_stats(buf))
 
     def score_segment(self, hypothesis: str, references: Sequence[str]) -> float:
@@ -33,7 +74,7 @@ class Meteor:
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
         keys = list(gts.keys())
         per_image: List[float] = []
-        agg = [0.0] * 6
+        agg = [0.0] * _N_STATS
         for key in keys:
             hyp = res[key][0]
             best_score, best_stats = 0.0, None

@@ -75,6 +75,30 @@ def test_native_porter_matches_python():
         assert c == porter_stem(w), w
 
 
+def test_native_snowball_matches_python():
+    native = _native_or_skip()
+    from clipcap_tpu.eval.snowball import snowball_stem
+    from clipcap_tpu.native import _take_string, load
+
+    lib = load()
+    words = ("running ran runs easily fairly skis skies dying lying tying "
+             "news howe atlas cosmos bias andes inning outings cannings "
+             "proceeded exceeding succeeds generate generated generously "
+             "communication communities arsenal relational conditional "
+             "rational valency hesitancy digitizer agreement hopefulness "
+             "goodness revival allowance inference airliner gyroscopic "
+             "adjustable defensible irritant replacement adjustment dependent "
+             "adoption communism activate angularity homologous effective "
+             "bowdlerize probate cease controlling rolling ties cries gas "
+             "this by yellow vying enjoy enjoyed boys conspicuous absolutely "
+             "fluently hopping hopeful misunderstanding y'all dog's").split()
+    for w in words:
+        for suf in ("", "s", "ed", "ing", "ly", "ness", "'s"):
+            t = w + suf
+            c = _take_string(lib, lib.ccn_snowball_stem(t.encode()))
+            assert c == snowball_stem(t), t
+
+
 def test_native_meteor_matches_python():
     native = _native_or_skip()
     from clipcap_tpu.eval.meteor import Meteor as PyMeteor
@@ -97,13 +121,40 @@ def test_native_meteor_matches_python():
     assert all(abs(x - y) < 1e-12 for x, y in zip(lp, lc))
 
 
-def test_get_meteor_prefers_native():
+def test_native_meteor_paraphrase_matches_python(tmp_path):
+    native = _native_or_skip()
+    import gzip
+    import random
+
+    from clipcap_tpu.eval.meteor import Meteor as PyMeteor
+    from clipcap_tpu.native.meteor import Meteor as CMeteor
+
+    table = tmp_path / "paraphrase-test.gz"
+    with gzip.open(table, "wt") as f:
+        f.write("sofa ||| couch\nnext to ||| beside\nlarge dog ||| big hound\n")
+    py = PyMeteor(paraphrase_path=str(table))
+    c = CMeteor(paraphrase_path=str(table))
+
+    vocab = ("a the sofa couch next to beside large big dog hound cat sits "
+             "on near tree red").split()
+    rng = random.Random(7)
+    for _ in range(100):
+        hyp = " ".join(rng.choices(vocab, k=rng.randint(1, 10)))
+        refs = [" ".join(rng.choices(vocab, k=rng.randint(1, 10))) for _ in range(2)]
+        assert abs(py.score_segment(hyp, refs) - c.score_segment(hyp, refs)) < 1e-12
+
+
+def test_get_meteor_prefers_native(tmp_path):
     native = _native_or_skip()
     from clipcap_tpu.eval.meteor import Meteor as PyMeteor, get_meteor
     from clipcap_tpu.native.meteor import Meteor as CMeteor
 
     assert isinstance(get_meteor(), CMeteor)
-    # resource-table configuration falls back to the Python scorer
+    # the native core handles the paraphrase-table configuration too
+    table = tmp_path / "paraphrase.txt"
+    table.write_text("sofa ||| couch\n")
+    assert isinstance(get_meteor(paraphrase_path=str(table)), CMeteor)
+    # synonym-table configuration falls back to the Python scorer
     assert isinstance(get_meteor(synonyms={"cat": {"feline"}}), PyMeteor)
 
 
