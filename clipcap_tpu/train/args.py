@@ -62,7 +62,11 @@ def add_training_args(parser: ArgumentParser) -> ArgumentParser:
     dist.add_argument("--enable-deepspeed", type=str2bool, default=False,
                       help="[reference-compat] maps onto --zero1-optimizer-sharding.")
     dist.add_argument("--deepspeed-strategy", type=str, default=None,
-                      help="[reference-compat] ZeRO stage string; any stage maps onto ZeRO-1 moment sharding.")
+                      help="[reference-compat] ZeRO stage string (e.g. 'deepspeed_stage_1'). "
+                           "Only stage 1 (optimizer-moment sharding) is implemented: at this "
+                           "model scale params+grads fit per-chip, so stages 2/3 would add "
+                           "collectives without saving anything (see SCALING.md). Requesting "
+                           "stage 2/3 is an error, not a silent downgrade.")
 
     wandb = parser.add_argument_group("wandb")
     wandb.add_argument("--enable-wandb", type=str2bool, default=False,

@@ -32,6 +32,31 @@ from clipcap_tpu.train.state import create_train_state, make_optimizer
 from clipcap_tpu.train.step import make_train_step
 
 
+def resolve_zero_sharding(deepspeed_strategy, zero1_flag, enable_deepspeed):
+    """Map reference DeepSpeed flags onto the ZeRO-1 analog.
+
+    Only stage 1 (optimizer-moment sharding over the data axis) exists:
+    at this model scale params+grads fit per-chip, so stages 2/3 would add
+    collectives without saving memory (SCALING.md). Requesting them is an
+    error, not a silent downgrade
+    (reference: /root/reference/clipcap/train/args.py:87-92 accepts any
+    stage string and passes it to PL).
+    """
+    zero1 = bool(zero1_flag or enable_deepspeed)
+    if deepspeed_strategy:
+        strategy = str(deepspeed_strategy).lower()
+        if any(f"stage_{s}" in strategy or strategy == str(s) for s in (2, 3)):
+            raise SystemExit(
+                f"--deepspeed-strategy {deepspeed_strategy!r}: only ZeRO "
+                "stage 1 (optimizer-moment sharding) is implemented — at "
+                "this model scale params and grads fit per-chip, so stages "
+                "2/3 add collectives without saving memory. See SCALING.md. "
+                "Use 'deepspeed_stage_1' or drop the flag."
+            )
+        zero1 = True
+    return zero1
+
+
 def _select_devices(device_arg: str):
     devs = jax.devices()
     if device_arg in ("-1", "", None):
@@ -43,6 +68,10 @@ def _select_devices(device_arg: str):
 def train(args: Namespace) -> int:
     compute_dtype = jnp.bfloat16 if args.fp_precision == 16 else (
         jnp.float64 if args.fp_precision == 64 else jnp.float32
+    )
+    zero1 = resolve_zero_sharding(  # validate flags before any heavy work
+        args.deepspeed_strategy, args.zero1_optimizer_sharding,
+        args.enable_deepspeed,
     )
 
     with open(Path(args.input_dataset) / "encoder_config.yaml", "r") as f:
@@ -85,7 +114,6 @@ def train(args: Namespace) -> int:
         print(f"resumed from {args.resume_from} at step {int(state.step)}")
 
     emb_ndim = 3 if encoder_config.use_windowed_embeddings else 2
-    zero1 = args.zero1_optimizer_sharding or args.enable_deepspeed
     # Rematerialization policy: finetuning always needs it; prefix-only
     # needs it once per-chip batches are large (activation residuals OOM a
     # 16 GB chip around global batch 256 for gpt2 — measured). --remat

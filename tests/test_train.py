@@ -273,3 +273,72 @@ def test_maybe_initialize_single_host_noop(monkeypatch):
                 "MEGASCALE_COORDINATOR_ADDRESS"):
         monkeypatch.delenv(var, raising=False)
     assert distributed.maybe_initialize() is False  # no coordinator: no-op
+
+
+def test_deepspeed_strategy_stage23_rejected():
+    """Only ZeRO-1 exists; stages 2/3 must error loudly, not silently
+    downgrade (reference accepts any stage string,
+    /root/reference/clipcap/train/args.py:87-92)."""
+    from clipcap_tpu.train.train import resolve_zero_sharding
+
+    assert resolve_zero_sharding(None, True, False) is True
+    assert resolve_zero_sharding(None, False, False) is False
+    assert resolve_zero_sharding(None, False, True) is True
+    assert resolve_zero_sharding("deepspeed_stage_1", False, False) is True
+    for bad in ("deepspeed_stage_2", "deepspeed_stage_2_offload",
+                "deepspeed_stage_3", "2", "3"):
+        with pytest.raises(SystemExit):
+            resolve_zero_sharding(bad, False, False)
+
+
+def test_optimizer_trajectory_matches_torch_reference():
+    """N steps of the reference's configure_optimizers recipe — torch AdamW
+    (defaults) + HF get_linear_schedule_with_warmup, stepped per-batch
+    (/root/reference/clipcap/model/model.py:67-91) — against our optax
+    chain, identical weights and grads, parameter trajectories must match.
+    """
+    import jax.numpy as jnp
+    import torch
+    from transformers import get_linear_schedule_with_warmup
+
+    from clipcap_tpu.train.state import make_optimizer
+
+    lr, warmup, total, n_steps = 2e-3, 3, 12, 10
+    rng = np.random.default_rng(7)
+    w0 = rng.normal(size=(5, 4)).astype(np.float32)
+    b0 = rng.normal(size=(4,)).astype(np.float32)
+    grads = [
+        (rng.normal(size=(5, 4)).astype(np.float32),
+         rng.normal(size=(4,)).astype(np.float32))
+        for _ in range(n_steps)
+    ]
+
+    # --- torch reference recipe ---
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    tb = torch.nn.Parameter(torch.tensor(b0))
+    opt = torch.optim.AdamW([tw, tb], lr=lr)
+    sched = get_linear_schedule_with_warmup(
+        opt, num_warmup_steps=warmup, num_training_steps=total)
+    torch_traj = []
+    for gw, gb in grads:
+        opt.zero_grad()
+        tw.grad = torch.tensor(gw)
+        tb.grad = torch.tensor(gb)
+        opt.step()
+        sched.step()
+        torch_traj.append((tw.detach().numpy().copy(),
+                           tb.detach().numpy().copy()))
+
+    # --- our optax chain (full-finetune path: all params train) ---
+    tx = make_optimizer(lr=lr, warmup_steps=warmup, total_steps=total,
+                        train_language_model=True)
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    opt_state = tx.init(params)
+    for i, (gw, gb) in enumerate(grads):
+        g = {"w": jnp.asarray(gw), "b": jnp.asarray(gb)}
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = {k: params[k] + updates[k] for k in params}
+        np.testing.assert_allclose(np.asarray(params["w"]), torch_traj[i][0],
+                                   atol=2e-6, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(params["b"]), torch_traj[i][1],
+                                   atol=2e-6, rtol=1e-5)
