@@ -131,30 +131,36 @@ def init_gpt2(cfg: GPT2Config, seed: int = 0) -> Params:
 
 def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
                   beam_size: Optional[int] = None):
-    """Preallocated fixed-shape KV cache.
+    """Preallocated fixed-shape KV cache, K and V **interleaved**.
 
-    A tuple of ``(k, v)`` pairs per layer, each ``[batch, n_head, max_len,
-    head_dim]``.  Per-layer buffers (instead of one stacked ``[n_layer, ...]``
-    array) let XLA update each layer's slice **in place** inside the decode
-    ``while_loop`` — a stacked cache forces a full-cache copy per step
-    because the per-layer ``dynamic_update_slice`` can't alias through the
-    layer loop (measured 2.5x step-time difference on v5e).
+    One buffer per layer, ``[batch, n_head, max_len, 2*head_dim]`` — K in
+    ``[..., :head_dim]``, V in ``[..., head_dim:]``.  Per-layer buffers
+    (instead of one stacked ``[n_layer, ...]`` array) let XLA update each
+    layer's slice **in place** inside the decode ``while_loop`` — a stacked
+    cache forces a full-cache copy per step because the per-layer
+    ``dynamic_update_slice`` can't alias through the layer loop (measured
+    2.5x step-time difference on v5e).
+
+    Why interleaved: GPT-2's head_dim is 64 but TPU arrays are tiled
+    ``(sublane, 128)`` over their last two dims, so separate ``[..., T, 64]``
+    K/V buffers are lane-padded to 128 — 2x the HBM footprint *and* 2x the
+    read traffic on every decode step (gpt2-xl beam-5 at batch 64 OOMed a
+    16 GB chip; decode is cache-read-bound).  With K|V sharing a 128-wide
+    minor dim there is zero padding, and the flash decode kernel
+    (``ops/flash_decode``) streams each cache byte exactly once per step.
 
     With ``beam_size`` K (rows grouped K-per-sample), the layout is
-    ``[batch/K, n_head, K, max_len, head_dim]`` instead: the ancestry
-    attention einsums then carry their batch dims (sample, head) leading in
-    BOTH operands, so XLA's dot_general needs no physical cache transpose
-    (the ``[B,H,T,Dh]`` view cost a full-cache transpose per layer per step
-    — measured 12x step-time blowup).
+    ``[batch/K, n_head, K*max_len, 2*head_dim]``: row ``kb``'s cache slot
+    for position ``t`` lives at flat index ``kb*max_len + t``.  The (sample,
+    head) batch dims lead in both attention operands, so XLA's dot_general
+    needs no physical cache transpose (the ``[B,H,T,Dh]`` view cost a full
+    cache transpose per layer per step — measured 12x step-time blowup).
     """
     if beam_size is not None:
-        shape = (batch // beam_size, cfg.n_head, beam_size, max_len, cfg.head_dim)
+        shape = (batch // beam_size, cfg.n_head, beam_size * max_len, 2 * cfg.head_dim)
     else:
-        shape = (batch, cfg.n_head, max_len, cfg.head_dim)
-    return tuple(
-        (jnp.zeros(shape, dtype=dtype), jnp.zeros(shape, dtype=dtype))
-        for _ in range(cfg.n_layer)
-    )
+        shape = (batch, cfg.n_head, max_len, 2 * cfg.head_dim)
+    return tuple(jnp.zeros(shape, dtype=dtype) for _ in range(cfg.n_layer))
 
 
 # ---------------------------------------------------------------------------
@@ -191,32 +197,43 @@ def _mlp(x: Array, layer: Params, cfg: GPT2Config, precision) -> Array:
 def _cached_block(
     x: Array,
     layer: Params,
-    ck: Array,
-    cv: Array,
+    ckv: Array,
     cache_index,
     bias: Optional[Array],
     cfg: GPT2Config,
     precision,
     beam_size: Optional[int] = None,
     ancestry: Optional[Array] = None,
-) -> Tuple[Array, Array, Array]:
+    flash: bool = False,
+) -> Tuple[Array, Array]:
     """One block in cached (prefill/decode) mode.
 
-    ``ck``/``cv``: this layer's cache ``[B, H, T, Dh]`` — written in place at
-    ``cache_index`` and attended over with the canonical ``[B,H,*,Dh]``
-    einsums (no whole-cache transposes; those doubled decode step time).
+    ``ckv``: this layer's interleaved cache (see ``init_kv_cache``) —
+    written in place at ``cache_index`` and attended over with batch dims
+    leading in both einsum operands (no whole-cache transposes; those
+    doubled decode step time).
 
-    With ``beam_size`` K (rows grouped K-per-sample) the cache layout is
-    ``[R, H, K, T, Dh]`` and attention implements the lazy (gather-free)
-    beam reorder: rather than physically gathering the cache by source beam
-    every step (the reference reorders its grown tensors, base.py:104-115 —
-    as a cache gather on TPU that costs a full cache rewrite per step), rows
-    stay where they were written and ``ancestry[b, t] ∈ [0, K)`` names which
-    row *within b's beam group* holds beam b's key/value for position ``t``.
-    Attention computes q·k against all K rows of the group and selects by
-    the one-hot ancestry — cache traffic is read-once, zero reorder writes.
-    The (sample, head) batch dims lead in both einsum operands so XLA never
-    transposes the cache.
+    Prefill (S > 1) attends **within the block only** — q/k/v of the S new
+    positions plus the causal/pad bias — so the zero-filled cache is never
+    read.  Prefill therefore assumes ``cache_index == 0`` (full-context
+    prefill, which is how the engine and beam search always call it).
+
+    Decode (S == 1) reads the whole cache.  With ``flash=True`` the masked
+    softmax attention runs as one Pallas kernel pass over the interleaved
+    buffer (``ops/flash_decode``) — each cache byte is read exactly once.
+    The XLA fallback slices K and V from the buffer (reads full 128-wide
+    tiles twice — the layout keeps it no worse than the old padded split
+    buffers, at half the memory).
+
+    With ``beam_size`` K (rows grouped K-per-sample) attention implements
+    the lazy (gather-free) beam reorder: rather than physically gathering
+    the cache by source beam every step (the reference reorders its grown
+    tensors, base.py:104-115 — as a cache gather on TPU that costs a full
+    cache rewrite per step), rows stay where they were written and the
+    precomputed ``ancestry`` mask (built once per step in ``gpt2_apply``)
+    is -inf everywhere except the one row holding each position's K/V —
+    softmax over the masked flat K·T context is then EXACTLY the
+    per-position row selection.
     """
     B, S, D = x.shape
     H, Dh = cfg.n_head, cfg.head_dim
@@ -227,78 +244,86 @@ def _cached_block(
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     if beam_size is None:
-        T = ck.shape[2]
+        T = ckv.shape[2]
         q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)  # [B,H,S,Dh]
         k = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+        new_kv = jnp.concatenate([k, v], axis=-1).astype(ckv.dtype)
+        ckv = jax.lax.dynamic_update_slice(ckv, new_kv, (0, 0, cache_index, 0))
 
-        logits = jnp.einsum("bhsd,bhtd->bhst", q, ck.astype(x.dtype),
-                            precision=precision) * scale
-        logits = logits.astype(jnp.float32)
-        if bias is not None:
-            logits = logits + bias
-        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        attn = jnp.einsum("bhst,bhtd->bhsd", w, cv.astype(x.dtype),
-                          precision=precision)
+        if S > 1:
+            # Prefill: block-local causal attention (cache never read).
+            logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                                precision=precision) * scale
+            logits = logits.astype(jnp.float32)
+            if bias is not None:
+                logits = logits + bias[..., :S]
+            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            attn = jnp.einsum("bhst,bhtd->bhsd", w, v, precision=precision)
+        elif flash:
+            from clipcap_tpu.ops.flash_decode import flash_decode
+
+            mask = (bias[:, 0] if bias is not None
+                    else jnp.zeros((1, 1, T), jnp.float32))  # [Bm, 1, T]
+            attn = flash_decode(q, ckv, mask)                # [B,H,1,Dh]
+        else:
+            kx = ckv[..., :Dh].astype(x.dtype)
+            vx = ckv[..., Dh:].astype(x.dtype)
+            logits = jnp.einsum("bhsd,bhtd->bhst", q, kx,
+                                precision=precision) * scale
+            logits = logits.astype(jnp.float32)
+            if bias is not None:
+                logits = logits + bias
+            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            attn = jnp.einsum("bhst,bhtd->bhsd", w, vx, precision=precision)
         attn_out = attn.transpose(0, 2, 1, 3).reshape(B, S, D)
     else:
         K = beam_size
         R = B // K
-        T = ck.shape[3]
+        T = ckv.shape[2] // K
         assert bias is None or bias.shape[0] == 1, "beam mode: broadcast bias only"
         # [B,S,H*Dh] -> [R,H,K,S,Dh]
         qg = q.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
         kg = k.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
         vg = v.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
-        ck = jax.lax.dynamic_update_slice(ck, kg.astype(ck.dtype),
-                                          (0, 0, 0, cache_index, 0))
-        cv = jax.lax.dynamic_update_slice(cv, vg.astype(cv.dtype),
-                                          (0, 0, 0, cache_index, 0))
-        ckx = ck.astype(x.dtype)
-        cvx = cv.astype(x.dtype)
+        new_kv = jnp.concatenate([kg, vg], axis=-1).astype(ckv.dtype)  # [R,H,K,S,2Dh]
+        for kb in range(K):  # row kb's slots live at flat [kb*T, (kb+1)*T)
+            ckv = jax.lax.dynamic_update_slice(
+                ckv, new_kv[:, :, kb], (0, 0, kb * T + cache_index, 0)
+            )
 
         if ancestry is None:
-            # Prefill: each row attends its own history (batch dims r,h,k).
-            la = jnp.einsum("rhksd,rhktd->rhkst", qg, ckx,
+            # Prefill: block-local causal attention (batch dims r,h,k).
+            la = jnp.einsum("rhksd,rhktd->rhkst", qg, kg,
                             precision=precision) * scale
             logits = la.astype(jnp.float32)
             if bias is not None:
-                logits = logits + bias[0, 0]              # [S,T] broadcast
+                logits = logits + bias[0, 0, :, :S]       # [S,S] broadcast
             w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-            attn = jnp.einsum("rhkst,rhktd->rhksd", w, cvx, precision=precision)
+            attn = jnp.einsum("rhkst,rhktd->rhksd", w, vg, precision=precision)
             attn_out = attn.transpose(0, 2, 3, 1, 4).reshape(B, S, D)
         else:
-            # Decode: flat-context masked attention.  The group's K·T cache
-            # slots form one context of length U=K·T per query beam; the
-            # precomputed ``ancestry`` mask (built once per step in
-            # gpt2_apply, shared by all layers) is -inf everywhere except
-            # the one row holding each position's K/V — softmax over the
-            # masked flat axis is then EXACTLY the per-position row
-            # selection, but runs as a single plain attention einsum pair
-            # (the explicit all-pairs select/w2 formulation measured ~3 ms
-            # per layer per step in extra elementwise traffic).
+            # Decode: flat-context masked attention over the K·T slots.
             assert S == 1
             q1 = qg[:, :, :, 0]                           # [R,H,K,Dh]
-            U = K * T
-            ku = ckx.reshape(R, H, U, Dh)                 # free: (K,T) adjacent
-            vu = cvx.reshape(R, H, U, Dh)
-            # XLA path kept deliberately: a fused Pallas kernel for this
-            # step was measured 5x SLOWER (the [R,K,U] blocks force tiny
-            # per-program tiles inside the while_loop; launch + lane-padding
-            # overheads swamp the saved logits round-trip).
-            la = jnp.einsum("rhkd,rhud->rhku", q1, ku,
-                            precision=precision).astype(jnp.float32) * scale
-            la = la + ancestry[:, None]                   # ancestry: [R,K,U] mask
-            w = jax.nn.softmax(la, axis=-1).astype(x.dtype)
-            attn = jnp.einsum("rhku,rhud->rhkd", w, vu, precision=precision)
+            if flash:
+                from clipcap_tpu.ops.flash_decode import flash_decode
+
+                attn = flash_decode(q1, ckv, ancestry)    # [R,H,K,Dh]
+            else:
+                ku = ckv[..., :Dh].astype(x.dtype)        # [R,H,U,Dh]
+                vu = ckv[..., Dh:].astype(x.dtype)
+                la = jnp.einsum("rhkd,rhud->rhku", q1, ku,
+                                precision=precision).astype(jnp.float32) * scale
+                la = la + ancestry[:, None]               # ancestry: [R,K,U] mask
+                w = jax.nn.softmax(la, axis=-1).astype(x.dtype)
+                attn = jnp.einsum("rhku,rhud->rhkd", w, vu, precision=precision)
             attn_out = attn.transpose(0, 2, 1, 3).reshape(B, S, D)
 
     attn_out = linear(attn_out, layer["attn"]["c_proj"]["w"],
                       layer["attn"]["c_proj"]["b"], precision)
     x = x + attn_out
-    return _mlp(x, layer, cfg, precision), ck, cv
+    return _mlp(x, layer, cfg, precision), ckv
 
 
 def _block(
@@ -354,6 +379,7 @@ def gpt2_apply(
     return_logits: bool = True,
     beam_size: Optional[int] = None,
     ancestry: Optional[Array] = None,
+    flash: Optional[bool] = None,
 ):
     """GPT-2 forward.
 
@@ -372,6 +398,12 @@ def gpt2_apply(
       names the group row holding beam b's K/V for position t.  This is the
       lazy (gather-free) beam reorder — see ``_cached_block``.
 
+    ``flash``: use the Pallas flash-decode kernel for cached single-token
+    attention (``ops/flash_decode`` — one pass over the interleaved cache).
+    Default ``None`` auto-enables it for the serving configuration (bf16
+    compute, default precision, cache dtype == compute dtype, on TPU); the
+    XLA path remains the reference for fp32/parity runs.
+
     Returns ``(logits_or_hidden, new_kv_cache)``.
     """
     if inputs_embeds is None:
@@ -380,8 +412,10 @@ def gpt2_apply(
     B, S, D = x.shape
 
     if kv_cache is not None:
+        # Interleaved cache [.., T, 2*Dh] (beam: [.., K*T, 2*Dh]); T = slots.
+        slots = kv_cache[0].shape[2]
         offset = cache_index
-        T = kv_cache[0][0].shape[-2]
+        T = slots // beam_size if beam_size is not None else slots
     else:
         offset = 0
         T = S
@@ -395,6 +429,14 @@ def gpt2_apply(
         bias = bias + pad_bias[:, None, None, :]
 
     if kv_cache is not None:
+        if flash is None:
+            flash = (
+                S == 1
+                and dtype == jnp.bfloat16
+                and kv_cache[0].dtype == dtype
+                and precision is None
+                and jax.default_backend() == "tpu"
+            )
         beam_mask = None
         if ancestry is not None:
             # Build the flat-context beam selection mask ONCE per step (all
@@ -419,13 +461,13 @@ def gpt2_apply(
         h = x
         for l in range(cfg.n_layer):
             layer = jax.tree_util.tree_map(lambda p: p[l], params["h"])
-            ck, cv = kv_cache[l]
-            h, ck, cv = _cached_block(
-                h, layer, ck, cv, cache_index,
+            h, ckv = _cached_block(
+                h, layer, kv_cache[l], cache_index,
                 None if beam_mask is not None else bias,
                 cfg, precision, beam_size=beam_size, ancestry=beam_mask,
+                flash=bool(flash),
             )
-            new_cache.append((ck, cv))
+            new_cache.append(ckv)
         x = h
         new_cache = tuple(new_cache)
     else:

@@ -71,7 +71,7 @@ def layer_norm(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
 
 def linear(
     x: Array,
-    w: Array,
+    w,
     b: Optional[Array] = None,
     precision: Optional[jax.lax.Precision] = None,
 ) -> Array:
@@ -79,8 +79,20 @@ def linear(
 
     ``w`` is stored ``[in, out]`` (same layout HF's GPT-2 ``Conv1D`` uses,
     so weight import is transpose-free).
+
+    ``w`` may also be a quantized weight ``{"q": int8 [in, out], "s":
+    float32 [out]}`` (per-output-channel absmax, see
+    ``ops/quant.quantize_linear``): the int8 tensor streams from HBM at
+    half the bf16 bytes — decode serving is weight-read-bound, so this is
+    a direct step-time cut — and XLA fuses the widening convert into the
+    matmul operand read.  The per-channel scale applies to the output
+    (``x @ q·diag(s) == (x @ q)·s``).
     """
-    y = jnp.dot(x, w.astype(x.dtype), precision=precision)
+    if isinstance(w, dict):
+        y = jnp.dot(x, w["q"].astype(x.dtype), precision=precision)
+        y = y * w["s"].astype(y.dtype)
+    else:
+        y = jnp.dot(x, w.astype(x.dtype), precision=precision)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y

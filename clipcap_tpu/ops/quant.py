@@ -1,0 +1,64 @@
+"""Int8 weight residency for decode serving.
+
+Autoregressive decode is HBM-bound on *weight reads*: every step streams
+every matmul weight once (gpt2-xl: 3.1 GB/step in bf16).  Storing the
+transformer matmul weights as int8 with per-output-channel absmax scales
+halves that traffic; XLA fuses the int8→bf16 widening into the dot's
+operand stream, and the per-channel scale into its epilogue
+(``ops/layers.linear`` handles the ``{"q", "s"}`` form transparently).
+
+This is a *serving* transform (the analog of the w8a16 deployments common
+for GPT-class serving): per-channel int8 weight quantization is
+numerically tame — logits move on the order of bf16 rounding — but it is
+kept opt-in (``--int8-weights`` on the inference/eval CLIs) and off for
+parity runs.  Embeddings (``wte``/``wpe``) and layer norms stay in bf16:
+``wte`` doubles as the logits projection where int8 error would directly
+perturb token ranking, and together they are a small fraction of the
+bytes.
+
+Reference: the torch baseline has no quantized path — this is a
+TPU-serving addition, not a parity feature.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def quantize_linear(w: jax.Array) -> Dict[str, jax.Array]:
+    """Per-output-channel symmetric int8: ``w ≈ q * s`` with
+    ``s = absmax / 127`` over the input dim.  ``w`` is ``[..., in, out]``
+    (a leading layer-stack dim is treated as part of the channel index, so
+    every layer gets its own scales)."""
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    s = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s[..., 0, :].astype(jnp.float32)}
+
+
+def quantize_gpt2_int8(params: Params) -> Params:
+    """Return a copy of a GPT-2 param tree with the transformer matmul
+    weights (attn c_attn/c_proj, mlp c_fc/c_proj) in int8 {"q","s"} form.
+    Everything else (wte/wpe, layer norms, biases) is untouched."""
+    h = params["h"]
+    new_h = {
+        "ln_1": h["ln_1"],
+        "ln_2": h["ln_2"],
+        "attn": {
+            "c_attn": {"w": quantize_linear(h["attn"]["c_attn"]["w"]),
+                       "b": h["attn"]["c_attn"]["b"]},
+            "c_proj": {"w": quantize_linear(h["attn"]["c_proj"]["w"]),
+                       "b": h["attn"]["c_proj"]["b"]},
+        },
+        "mlp": {
+            "c_fc": {"w": quantize_linear(h["mlp"]["c_fc"]["w"]),
+                     "b": h["mlp"]["c_fc"]["b"]},
+            "c_proj": {"w": quantize_linear(h["mlp"]["c_proj"]["w"]),
+                       "b": h["mlp"]["c_proj"]["b"]},
+        },
+    }
+    return {**params, "h": new_h}

@@ -150,3 +150,71 @@ def test_remat_matches_no_remat(tiny_jax):
     a, _ = gpt2_apply(params, cfg, inputs_embeds=embeds, remat=False, dtype=jnp.float32)
     b, _ = gpt2_apply(params, cfg, inputs_embeds=embeds, remat=True, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_flash_decode_matches_xla_path(tiny_jax):
+    """The Pallas flash-decode kernel (ops/flash_decode) must reproduce the
+    XLA cached-attention path on both the plain and the beam (ancestry
+    masked) decode, fp32 exact-ish and bf16 within rounding."""
+    import jax
+
+    params, cfg = tiny_jax
+    rng = np.random.default_rng(11)
+
+    for dtype, atol in ((jnp.float32, 1e-5), (jnp.bfloat16, 5e-2)):
+        # Plain batched decode: prefill 5, then one decode step both ways.
+        B, P, T = 3, 5, 9
+        embeds = jnp.asarray(rng.normal(size=(B, P, cfg.n_embd)), dtype)
+        cache = init_kv_cache(cfg, B, max_len=T, dtype=dtype)
+        _, cache = gpt2_apply(params, cfg, inputs_embeds=embeds,
+                              kv_cache=cache, cache_index=jnp.int32(0),
+                              dtype=dtype, flash=False)
+        step = jnp.asarray(rng.normal(size=(B, 1, cfg.n_embd)), dtype)
+        ref, _ = gpt2_apply(params, cfg, inputs_embeds=step, kv_cache=cache,
+                            cache_index=jnp.int32(P), dtype=dtype, flash=False)
+        out, _ = gpt2_apply(params, cfg, inputs_embeds=step, kv_cache=cache,
+                            cache_index=jnp.int32(P), dtype=dtype, flash=True)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=atol, rtol=1e-3)
+
+        # Beam decode with a nontrivial ancestry table.
+        R, K = 2, 3
+        Bk = R * K
+        pe = jnp.asarray(rng.normal(size=(Bk, P, cfg.n_embd)), dtype)
+        bcache = init_kv_cache(cfg, Bk, max_len=T, dtype=dtype, beam_size=K)
+        _, bcache = gpt2_apply(params, cfg, inputs_embeds=pe, kv_cache=bcache,
+                               cache_index=jnp.int32(0), dtype=dtype,
+                               beam_size=K, flash=False)
+        ancestry = jnp.asarray(rng.integers(0, K, size=(Bk, T)), jnp.int32)
+        bref, _ = gpt2_apply(params, cfg, inputs_embeds=step.repeat(2, 0),
+                             kv_cache=bcache, cache_index=jnp.int32(P),
+                             dtype=dtype, beam_size=K, ancestry=ancestry,
+                             flash=False)
+        bout, _ = gpt2_apply(params, cfg, inputs_embeds=step.repeat(2, 0),
+                             kv_cache=bcache, cache_index=jnp.int32(P),
+                             dtype=dtype, beam_size=K, ancestry=ancestry,
+                             flash=True)
+        np.testing.assert_allclose(np.asarray(bout, np.float32),
+                                   np.asarray(bref, np.float32),
+                                   atol=atol, rtol=1e-3)
+
+
+def test_int8_weight_quantization(tiny_jax):
+    """ops/quant: int8 per-channel weights reproduce bf16 logits within a
+    small tolerance, and the quantized tree drops weight bytes ~2x."""
+    params, cfg = tiny_jax
+    from clipcap_tpu.ops.quant import quantize_gpt2_int8
+
+    qparams = quantize_gpt2_int8(params)
+    assert qparams["h"]["attn"]["c_attn"]["w"]["q"].dtype == jnp.int8
+
+    rng = np.random.default_rng(5)
+    embeds = jnp.asarray(rng.normal(size=(2, 7, cfg.n_embd)), jnp.float32)
+    ref, _ = gpt2_apply(params, cfg, inputs_embeds=embeds, dtype=jnp.float32)
+    out, _ = gpt2_apply(qparams, cfg, inputs_embeds=embeds, dtype=jnp.float32)
+    # int8 per-channel weight error ~0.4%/weight; logits stay close in a
+    # 2-layer net.  This pins plumbing, not a quality claim.
+    err = float(jnp.max(jnp.abs(out - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert err / scale < 0.05, (err, scale)
