@@ -46,6 +46,24 @@ CONJUNCTIONS = {"and", "or"}
 _ADJ_SUFFIXES = ("ful", "ous", "ish", "ive", "less", "able", "ible", "al",
                  "ic", "y", "ed", "en")
 
+# Closed class of caption-frequent adjectives that don't end in an
+# adjectival suffix — used to recognize coordinated attributes
+# ("a red and blue umbrella") where the first conjunct would otherwise
+# chunk as its own object NP.
+ADJECTIVES = {
+    "red", "blue", "green", "black", "white", "brown", "gray", "grey",
+    "orange", "purple", "pink", "yellow", "golden", "dark", "light",
+    "big", "small", "large", "little", "tall", "short", "long", "old",
+    "young", "new", "wide", "narrow", "high", "low", "bright", "open",
+    "full", "empty", "wet", "dry", "clean", "dirty",
+}
+
+
+def _looks_like_adjective(word: str) -> bool:
+    return word in ADJECTIVES or (
+        word.endswith(_ADJ_SUFFIXES) and word not in FUNCTION_WORDS
+    )
+
 # Common caption verbs, INFLECTED forms only — base forms ("park", "top",
 # "watch", …) double as nouns far too often in captions to risk; captions
 # overwhelmingly use 3rd-person/past/participial forms anyway.
@@ -102,12 +120,12 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
     n = len(words)
     while i < n:
         w = words[i]
-        if w in PREPOSITIONS or w in COPULAS or (w in FUNCTION_WORDS and w not in ARTICLES):
-            chunks.append(("link", w))
-            i += 1
-            continue
         if w in CONJUNCTIONS:
             chunks.append(("conj", w))
+            i += 1
+            continue
+        if w in PREPOSITIONS or w in COPULAS or (w in FUNCTION_WORDS and w not in ARTICLES):
+            chunks.append(("link", w))
             i += 1
             continue
         if _is_verb(w, words[i - 1] if i else None):
@@ -134,6 +152,41 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
             chunks.append(("link", words[i]))
             i += 1
 
+    # Coordinated attributes: an NP whose head is adjectival, joined by a
+    # conjunction to a following NP, contributes its words as modifiers of
+    # that NP's head ("a red and blue umbrella" → (umbrella, red),
+    # (umbrella, blue) — Java SPICE distributes conjoined amods the same way).
+    i = 0
+    while i + 2 < len(chunks):
+        if (chunks[i][0] == "np" and chunks[i + 1][0] == "conj"
+                and chunks[i + 2][0] == "np"):
+            head_a, mods_a = chunks[i][1]
+            head_b, mods_b = chunks[i + 2][1]
+            if _looks_like_adjective(head_a) and not _looks_like_adjective(head_b):
+                chunks[i + 2] = ("np", (head_b, mods_a + [head_a] + mods_b))
+                del chunks[i:i + 2]
+                continue
+        i += 1
+
+    # Coordination groups: NP (conj NP)* — conjoined heads share relations
+    # ("a man and a woman sitting on a bench" → both (man, sitting, bench)
+    # and (woman, sitting, bench), matching the parser's distributed nsubj).
+    group_of: Dict[int, List[int]] = {}
+    idx = 0
+    while idx < len(chunks):
+        if chunks[idx][0] != "np":
+            idx += 1
+            continue
+        group = [idx]
+        j = idx
+        while (j + 2 < len(chunks) and chunks[j + 1][0] == "conj"
+               and chunks[j + 2][0] == "np"):
+            j += 2
+            group.append(j)
+        for g in group:
+            group_of[g] = group
+        idx = j + 1
+
     # Emit object/attribute tuples.
     np_list = [(idx, c[1]) for idx, c in enumerate(chunks) if c[0] == "np"]
     for _, (head, mods) in np_list:
@@ -142,8 +195,11 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
             tuples.add((head, m))
 
     # Relations: NP (link...) NP with the link word(s) as the relation label.
+    # Scan starts at the LAST member of a subject coordination group and the
+    # relation is distributed over every subject head; a coordinated object
+    # group likewise receives the relation on each of its heads.
     for a in range(len(chunks)):
-        if chunks[a][0] != "np":
+        if chunks[a][0] != "np" or group_of[a][-1] != a:
             continue
         # find next NP
         links: List[str] = []
@@ -153,11 +209,9 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
                 if kind == "link" and val not in COPULAS:
                     links.append(val)  # type: ignore[arg-type]
                 if kind == "conj":
-                    break  # conjunction starts a new clause
+                    break  # conjunction with no object NP: new clause
                 continue
             if kind == "np":
-                head_a = chunks[a][1][0]
-                head_b = val[0]
                 # Relation label priority: verb, then preposition, then last
                 # link ('girl standing on court' → (girl, standing, court)).
                 rel = next((l for l in links if _is_verb(l, None)), None)
@@ -166,7 +220,9 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
                 if rel is None and links:
                     rel = links[-1]
                 if rel:
-                    tuples.add((head_a, rel, head_b))
+                    for ga in group_of[a]:
+                        for gb in group_of[b]:
+                            tuples.add((chunks[ga][1][0], rel, chunks[gb][1][0]))
                 break
 
     # Intransitive verbs: NP V with no object NP before a conjunction/end

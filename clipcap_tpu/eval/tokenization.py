@@ -16,27 +16,44 @@ import re
 from typing import Dict, List
 
 # The exact punctuation list the reference wrapper strips
-# (ptbtokenizer.py:25-26).
+# (ptbtokenizer.py:25-26).  NB the list is UPPERCASE ("-LRB-") but the Java
+# tokenizer runs with -lowerCase, which lowercases the bracket escape tokens
+# to "-lrb-" — so in the real reference pipeline brackets SURVIVE the strip.
+# We reproduce that quirk faithfully (emit lowercase escapes, don't strip).
 PUNCTUATIONS = [
     "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
     ".", "?", "!", ",", ":", "-", "--", "...", ";",
 ]
 _PUNCT_SET = set(PUNCTUATIONS)
 
-# PTB contraction / clitic splits (the subset that matters for lowercase
-# caption text).
-_CONTRACTIONS = re.compile(r"\b(can)(not)\b")
+# PTB assimilation splits (PTBLexer splitAssimilations, on by default) —
+# the ones that occur in natural caption text.
+_ASSIMILATIONS = re.compile(
+    r"\b(can)(not)\b|\b(gon|wan)(na)\b|\b(got)(ta)\b|\b(gim|lem)(me)\b"
+)
+
+
+def _split_assimilation(m: re.Match) -> str:
+    parts = [g for g in m.groups() if g]
+    return " ".join(parts)
+
+
 _CLITICS = re.compile(r"(?i)('s|'re|'ve|'ll|'d|'m|n't)\b")
 
+# Bracket escapes, emitted LOWERCASE as CoreNLP -lowerCase does.
 _BRACKETS = {
-    "(": "-LRB-", ")": "-RRB-", "{": "-LCB-", "}": "-RCB-",
-    "[": "-LSB-", "]": "-RSB-",
+    "(": "-lrb-", ")": "-rrb-", "{": "-lcb-", "}": "-rcb-",
+    "[": "-lsb-", "]": "-rsb-",
 }
 
-# Tokens: ellipses, multi-hyphens, clitics, words (incl. internal hyphens &
-# digits/commas/periods inside numbers), or single non-space symbols.
+# Tokens, in PTB priority order: ellipses, multi-hyphens, clitics,
+# numbers with internal [.,:] groups ("3.5", "1,000", "2:30"),
+# letter acronyms ("u.s.", "a.m."), words (internal hyphens/apostrophes),
+# or single non-space symbols.
 _TOKEN = re.compile(
     r"\.\.\.|--|'s|'re|'ve|'ll|'d|'m|n't|"
+    r"[0-9]+(?:[.,:][0-9]+)+|"
+    r"(?:[a-z]\.){2,}|"
     r"[a-z0-9]+(?:[-'][a-z0-9]+)*|"
     r"[^\sa-z0-9]"
 )
@@ -45,7 +62,7 @@ _TOKEN = re.compile(
 def ptb_tokenize_line(line: str) -> List[str]:
     """Tokenize one caption: lowercase → PTB split → strip punctuation."""
     text = line.lower().strip()
-    text = _CONTRACTIONS.sub(r"\1 \2", text)
+    text = _ASSIMILATIONS.sub(_split_assimilation, text)
     # Separate clitics so the word regex picks them apart: "dog's" → "dog 's"
     text = _CLITICS.sub(r" \1", text)
     tokens = []

@@ -18,6 +18,10 @@ namespace {
 
 bool is_alnum_l(char c) { return (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'); }
 
+// NB the reference strip list is UPPERCASE ("-LRB-") but the Java
+// tokenizer runs with -lowerCase, which lowercases the bracket escapes to
+// "-lrb-" — in the real pipeline brackets SURVIVE the strip.  We reproduce
+// that quirk: emit lowercase escapes, which don't match the strip list.
 const std::set<std::string>& punct_set() {
     static const std::set<std::string> s = {
         "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
@@ -28,9 +32,9 @@ const std::set<std::string>& punct_set() {
 
 std::string bracket_token(char c) {
     switch (c) {
-        case '(': return "-LRB-"; case ')': return "-RRB-";
-        case '{': return "-LCB-"; case '}': return "-RCB-";
-        case '[': return "-LSB-"; case ']': return "-RSB-";
+        case '(': return "-lrb-"; case ')': return "-rrb-";
+        case '{': return "-lcb-"; case '}': return "-rcb-";
+        case '[': return "-lsb-"; case ']': return "-rsb-";
         default: return std::string(1, c);
     }
 }
@@ -60,17 +64,28 @@ std::vector<std::string> tokenize_line(const std::string& input) {
     text.reserve(input.size());
     for (char c : input) text += static_cast<char>(std::tolower(static_cast<unsigned char>(c)));
 
-    // 2. "cannot" -> "can not" (word boundaries)
+    // 2. assimilation splits (PTBLexer splitAssimilations): "cannot" ->
+    //    "can not", "gonna" -> "gon na", etc. (word boundaries)
+    struct Assim { const char* whole; const char* split; size_t len; };
+    static const Assim assims[] = {
+        {"cannot", "can not", 6}, {"gonna", "gon na", 5},
+        {"wanna", "wan na", 5},   {"gotta", "got ta", 5},
+        {"gimme", "gim me", 5},   {"lemme", "lem me", 5},
+    };
     std::string t2;
     for (size_t i = 0; i < text.size();) {
-        if (text.compare(i, 6, "cannot") == 0
-            && (i == 0 || !is_alnum_l(text[i-1]))
-            && (i + 6 >= text.size() || !is_alnum_l(text[i+6]))) {
-            t2 += "can not";
-            i += 6;
-        } else {
-            t2 += text[i++];
+        bool matched = false;
+        for (const auto& a : assims) {
+            if (text.compare(i, a.len, a.whole) == 0
+                && (i == 0 || !is_alnum_l(text[i-1]))
+                && (i + a.len >= text.size() || !is_alnum_l(text[i + a.len]))) {
+                t2 += a.split;
+                i += a.len;
+                matched = true;
+                break;
+            }
         }
+        if (!matched) t2 += text[i++];
     }
 
     // 3. separate clitics with a space: "dog's" -> "dog 's", "can't" -> "ca n't"
@@ -99,7 +114,32 @@ std::vector<std::string> tokenize_line(const std::string& input) {
         else if (t.compare(i, 2, "--") == 0) { tok = "--"; i += 2; }
         else {
             size_t clen = 0;
-            if (clitic_at(t, i, &clen)) { tok = t.substr(i, clen); i += clen; }
+            size_t num_end = 0, acro_end = 0;
+            // number with internal [.,:] groups: "3.5", "1,000", "2:30"
+            if (c >= '0' && c <= '9') {
+                size_t j = i;
+                while (j < t.size() && t[j] >= '0' && t[j] <= '9') ++j;
+                size_t groups = 0;
+                while (j + 1 < t.size() && (t[j] == '.' || t[j] == ',' || t[j] == ':')
+                       && t[j+1] >= '0' && t[j+1] <= '9') {
+                    ++j;
+                    while (j < t.size() && t[j] >= '0' && t[j] <= '9') ++j;
+                    ++groups;
+                }
+                if (groups) num_end = j;
+            }
+            // letter acronym: ([a-z]\.){2,} — "u.s.", "a.m."
+            if (c >= 'a' && c <= 'z') {
+                size_t j = i, pairs = 0;
+                while (j + 1 < t.size() && t[j] >= 'a' && t[j] <= 'z' && t[j+1] == '.') {
+                    j += 2;
+                    ++pairs;
+                }
+                if (pairs >= 2) acro_end = j;
+            }
+            if (num_end) { tok = t.substr(i, num_end - i); i = num_end; }
+            else if (acro_end) { tok = t.substr(i, acro_end - i); i = acro_end; }
+            else if (clitic_at(t, i, &clen)) { tok = t.substr(i, clen); i += clen; }
             else if (is_alnum_l(c)) {
                 size_t j = i;
                 while (j < t.size() && is_alnum_l(t[j])) ++j;

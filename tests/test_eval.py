@@ -19,9 +19,51 @@ def test_ptb_tokenize_basic():
     from clipcap_tpu.eval.tokenization import ptb_tokenize_line
 
     assert ptb_tokenize_line("A man, riding a horse.") == ["a", "man", "riding", "a", "horse"]
-    assert ptb_tokenize_line("The dog's ball (red).") == ["the", "dog", "'s", "ball", "red"]
+    # Brackets survive: CoreNLP -lowerCase emits "-lrb-", which the
+    # reference's UPPERCASE strip list misses (ptbtokenizer.py:25-26).
+    assert ptb_tokenize_line("The dog's ball (red).") == [
+        "the", "dog", "'s", "ball", "-lrb-", "red", "-rrb-"]
     assert ptb_tokenize_line("I can't swim...") == ["i", "ca", "n't", "swim"]
     assert ptb_tokenize_line("") == []
+
+
+def test_ptb_tokenize_corenlp_fixtures():
+    """Golden fixtures for the full reference pipeline output (PTBTokenizer
+    -preserveLines -lowerCase → strip PUNCTUATIONS).  No JVM exists in this
+    environment, so these are hand-derived from the documented PTB/CoreNLP
+    behavior (assimilation splits, clitic splits, bracket escapes surviving
+    the case-mismatched strip, number/acronym tokens) rather than captured
+    jar output — each case notes the rule it pins."""
+    from clipcap_tpu.eval.tokenization import ptb_tokenize_line
+
+    fixtures = [
+        # clitic splits: n't keeps the n, possessive 's separates
+        ("A man doesn't like the dog's bone.",
+         "a man does n't like the dog 's bone"),
+        ("It's the cat's toy, isn't it?",
+         "it 's the cat 's toy is n't it"),
+        # irregular clitic stems: can't -> ca n't, won't -> wo n't
+        ("Can't stop, won't stop!", "ca n't stop wo n't stop"),
+        # assimilations: cannot/gonna/wanna/gotta split
+        ("I cannot see; he's gonna jump.", "i can not see he 's gon na jump"),
+        ("We wanna play, you gotta wait.", "we wan na play you got ta wait"),
+        # bracket escapes survive the strip (case-mismatch quirk)
+        ("A dog (a brown one) runs.", "a dog -lrb- a brown one -rrb- runs"),
+        ("Scores [10] {high}.", "scores -lsb- 10 -rsb- -lcb- high -rcb-"),
+        # numbers keep internal . , : — stripping happens token-level only
+        ("It costs 1,000.50 at 2:30 pm.", "it costs 1,000.50 at 2:30 pm"),
+        ("about 3.5 meters", "about 3.5 meters"),
+        # acronyms with internal periods stay one token
+        ("the u.s. flag at 9 a.m.", "the u.s. flag at 9 a.m."),
+        # hyphenated words stay whole; standalone dashes are stripped
+        ("a state-of-the-art - model -- yes", "a state-of-the-art model yes"),
+        # ellipsis and terminal punctuation stripped
+        ("wait... what?!", "wait what"),
+        # contractions with 're/'ve/'ll/'d/'m
+        ("They're we've you'll I'd I'm.", "they 're we 've you 'll i 'd i 'm"),
+    ]
+    for raw, expected in fixtures:
+        assert " ".join(ptb_tokenize_line(raw)) == expected, raw
 
 
 def test_ptb_tokenizer_interface():
@@ -528,3 +570,80 @@ def test_generate_scores_standalone_driver():
         assert len(list(o["scores"])) == 2
     bleu1 = out[0]
     assert bleu1["scores"][0] > 0.99  # exact match
+
+
+def test_spice_coordination_distribution():
+    """Conjunction handling: coordinated subjects/objects share relations;
+    coordinated adjectives distribute onto the shared head (the
+    VERDICT-flagged weak spots of the rule-based extractor)."""
+    from clipcap_tpu.eval.spice import extract_tuples
+
+    t = extract_tuples("a man and a woman sitting on a bench".split())
+    assert ("man", "sitting", "bench") in t
+    assert ("woman", "sitting", "bench") in t
+
+    t = extract_tuples("a red and blue umbrella on the beach".split())
+    assert ("umbrella", "red") in t and ("umbrella", "blue") in t
+    assert ("red",) not in t  # adjective must not leak as an object
+
+    t = extract_tuples("a pizza is topped with cheese and mushrooms".split())
+    assert ("pizza", "topped", "cheese") in t
+    assert ("pizza", "topped", "mushrooms") in t
+
+
+def test_spice_extractor_accuracy_floor():
+    """Hand-annotated scene-graph tuples (Anderson et al. 2016 semantics:
+    object = head noun, attribute = (head, mod), relation = (subj, rel,
+    obj)) over typical COCO-style captions.  No JVM exists offline, so the
+    gold graphs are hand-derived per the published SPICE semantics rather
+    than captured from spice-1.0.jar; this quantifies extractor quality and
+    pins it against regressions (stemming applied on both sides, as the
+    scorer does)."""
+    from clipcap_tpu.eval.porter import porter_stem
+    from clipcap_tpu.eval.spice import extract_tuples
+
+    gold = [
+        ("a brown dog runs in the green park",
+         {("dog",), ("park",), ("dog", "brown"), ("park", "green"),
+          ("dog", "runs", "park")}),
+        ("two men playing frisbee on a sunny field",
+         {("men",), ("frisbee",), ("field",), ("field", "sunny"),
+          ("men", "playing", "frisbee")}),
+        ("a cat sleeps on a red couch",
+         {("cat",), ("couch",), ("couch", "red"), ("cat", "sleeps", "couch")}),
+        ("a man and a woman riding horses on the beach",
+         {("man",), ("woman",), ("horses",), ("beach",),
+          ("man", "riding", "horses"), ("woman", "riding", "horses")}),
+        ("a large white airplane parked at an airport",
+         {("airplane",), ("airport",), ("airplane", "large"),
+          ("airplane", "white"), ("airplane", "parked", "airport")}),
+        ("a pizza topped with cheese and pepperoni",
+         {("pizza",), ("cheese",), ("pepperoni",),
+          ("pizza", "topped", "cheese"), ("pizza", "topped", "pepperoni")}),
+        ("a young girl holds a red and yellow kite",
+         {("girl",), ("kite",), ("girl", "young"), ("kite", "red"),
+          ("kite", "yellow"), ("girl", "holds", "kite")}),
+        ("the dog is brown", {("dog",), ("dog", "brown")}),
+        ("a group of people standing around a table",
+         {("group",), ("people",), ("table",), ("group", "of", "people"),
+          ("people", "standing", "table")}),
+        ("a bird perched on a tree branch",
+         {("bird",), ("branch",), ("branch", "tree"),
+          ("bird", "perched", "branch")}),
+    ]
+
+    def stem_set(ts):
+        return {tuple(porter_stem(w) for w in t) for t in ts}
+
+    tp = fp = fn = 0
+    for caption, want in gold:
+        got_s = stem_set(extract_tuples(caption.split()))
+        want_s = stem_set(want)
+        tp += len(got_s & want_s)
+        fp += len(got_s - want_s)
+        fn += len(want_s - got_s)
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    # Current measured: keep a floor so regressions fail loudly.
+    assert precision >= 0.85, (precision, recall)
+    assert recall >= 0.90, (precision, recall)
