@@ -34,23 +34,39 @@ from clipcap_tpu.ops.audio import (
 
 
 class CLAPTransform:
-    """file/BytesIO → float32 waveform [CLAP_CLIP_SAMPLES] at 48 kHz.
+    """file/BytesIO → fixed-shape model input at 48 kHz.
 
-    Fixed-length output (10 s crop / zero-pad) so batches have static
-    shapes; the reference returns ragged waveforms that break its own
-    batched collate for mixed-length datasets.
+    Plain mode: float32 waveform ``[CLAP_CLIP_SAMPLES]`` (10 s crop /
+    zero-pad), so batches have static shapes; the reference returns ragged
+    waveforms that break its own batched collate for mixed-length datasets.
+
+    Fusion mode (``enable_fusion=True`` — fusion checkpoints): the
+    laion_clap fusion input ``[4, frames, 64]`` built host-side
+    (``ops/audio.build_mel_fusion``): full-mel shrink + three 10 s chunks,
+    so >10 s audio contributes its whole duration instead of being
+    truncated.  The int16 quantization round-trip laion_clap applies to
+    raw waveforms precedes the mel here, matching
+    ``get_audio_embedding_from_data`` (reference clap.py:121).
     """
 
     def __init__(self, sample_rate: int = CLAP_SAMPLE_RATE,
-                 clip_samples: int = CLAP_CLIP_SAMPLES) -> None:
+                 clip_samples: int = CLAP_CLIP_SAMPLES,
+                 enable_fusion: bool = False) -> None:
         self.sample_rate = sample_rate
         self.clip_samples = clip_samples
+        self.enable_fusion = enable_fusion
 
     def __call__(self, file: Union[io.BytesIO, str, bytes]) -> np.ndarray:
         waveform, file_rate = load_audio(file)
         waveform = to_mono(waveform)
         if file_rate != self.sample_rate:
             waveform = resample(waveform, file_rate, self.sample_rate)
+        if self.enable_fusion:
+            from clipcap_tpu.ops.audio import build_mel_fusion
+
+            w = np.clip(waveform, -1.0, 1.0)
+            w = np.trunc(w * 32767.0) / 32767.0
+            return build_mel_fusion(w.astype(np.float32))
         out = np.zeros((self.clip_samples,), dtype=np.float32)
         n = min(len(waveform), self.clip_samples)
         out[:n] = waveform[:n]
@@ -70,8 +86,13 @@ class CLAPEncoder:
         self.text = text  # (text_params, RobertaConfig) — rerank tower
 
         @jax.jit
-        def _forward(params, waveforms):
-            out = clap_audio_embedding(params, config, waveforms, dtype=dtype)
+        def _forward(params, batch):
+            if batch.ndim == 4:  # fusion input [B, 4, frames, 64]
+                from clipcap_tpu.models.htsat import clap_audio_embedding_fusion
+
+                out = clap_audio_embedding_fusion(params, config, batch, dtype=dtype)
+            else:                # waveforms [B, samples]
+                out = clap_audio_embedding(params, config, batch, dtype=dtype)
             if normalize_embeddings:
                 out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
             return out.astype(jnp.float32)
@@ -123,7 +144,7 @@ def get_clap_encoder(
         # standard audio model.
         encoder_model_variant = "HTSAT-tiny"
     params, config, text = load_clap(encoder_model_variant, checkpoint_path)
-    transform = CLAPTransform()
+    transform = CLAPTransform(enable_fusion=config.enable_fusion)
     model = CLAPEncoder(params, config,
                         normalize_embeddings=normalize_embeddings, dtype=dtype,
                         text=text)

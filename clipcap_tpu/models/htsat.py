@@ -55,6 +55,7 @@ class HTSATConfig:
     n_mels: int = 64
     embedding_dim: int = 512   # CLAP joint space
     latent_dim: int = 768      # embed_dim * 2**(n_stages-1)
+    enable_fusion: bool = False  # laion_clap fusion variant (>10 s audio)
     name: str = "HTSAT-tiny"
 
 
@@ -112,6 +113,15 @@ def init_htsat(cfg: HTSATConfig, seed: int = 0) -> Params:
         },
     }
 
+    if cfg.enable_fusion:
+        inter = max(1, cfg.embed_dim // 4)
+        params["patch_embed"]["mel_conv2d"] = {
+            "w": _trunc_normal(rng, (cfg.patch_size * 3 * cfg.patch_size * cfg.in_chans,
+                                     cfg.embed_dim)),
+            "b": jnp.zeros((cfg.embed_dim,), jnp.float32),
+        }
+        params["patch_embed"]["fusion"] = init_aff(cfg.embed_dim, inter, rng)
+
     for s in range(n_stages):
         dim = cfg.embed_dim * 2 ** s
         heads = cfg.heads[s]
@@ -142,6 +152,51 @@ def init_htsat(cfg: HTSATConfig, seed: int = 0) -> Params:
             }
         params["stages"].append(stage)
     return params
+
+
+def init_aff(channels: int, inter: int, rng) -> Params:
+    """AFF (attentional feature fusion, Dai et al. 2021) — the 2-D variant
+    laion_clap's fusion HTSAT uses to merge local-chunk features into the
+    global patch embedding (``fusion_model`` in fusion checkpoints)."""
+
+    def bn(n):
+        return {"scale": jnp.ones((n,), jnp.float32),
+                "bias": jnp.zeros((n,), jnp.float32),
+                "mean": jnp.zeros((n,), jnp.float32),
+                "var": jnp.ones((n,), jnp.float32)}
+
+    def conv(cin, cout):
+        return {"w": _trunc_normal(rng, (cin, cout)), "b": jnp.zeros((cout,), jnp.float32)}
+
+    return {
+        "local": {"conv1": conv(channels, inter), "bn1": bn(inter),
+                  "conv2": conv(inter, channels), "bn2": bn(channels)},
+        "global": {"conv1": conv(channels, inter), "bn1": bn(inter),
+                   "conv2": conv(inter, channels), "bn2": bn(channels)},
+    }
+
+
+def _bn_apply(x: Array, bn: Params) -> Array:
+    return ((x - bn["mean"]) * jax.lax.rsqrt(bn["var"] + 1e-5)
+            * bn["scale"] + bn["bias"])
+
+
+def _aff_branch(x: Array, p: Params, precision) -> Array:
+    h = linear(x, p["conv1"]["w"], p["conv1"]["b"], precision)
+    h = jnp.maximum(_bn_apply(h, p["bn1"]), 0)
+    h = linear(h, p["conv2"]["w"], p["conv2"]["b"], precision)
+    return _bn_apply(h, p["bn2"])
+
+
+def aff_fuse(fusion: Params, x: Array, residual: Array, precision=None) -> Array:
+    """AFF forward (channel-last [..., H, W, C]): MS-CAM attention over the
+    sum, then a soft swap: ``2·x·w + 2·residual·(1-w)``."""
+    xa = x + residual
+    xl = _aff_branch(xa, fusion["local"], precision)
+    xg = _aff_branch(jnp.mean(xa, axis=(-3, -2), keepdims=True),
+                     fusion["global"], precision)
+    wei = jax.nn.sigmoid(xl + xg)
+    return 2.0 * x * wei + 2.0 * residual * (1.0 - wei)
 
 
 # ---------------------------------------------------------------------------
@@ -274,34 +329,26 @@ def reshape_wav2img(x: Array, cfg: HTSATConfig) -> Array:
     return x.reshape(B, C, cfg.freq_ratio * F, T // cfg.freq_ratio)
 
 
-def htsat_latent(params: Params, cfg: HTSATConfig, mel: Array, *,
-                 dtype=jnp.float32, precision=None) -> Array:
-    """log-mel [B, T, F] → pooled latent [B, latent_dim] (the checkpoint's
-    'embedding' output: token mean-pool of the final normed feature map)."""
-    x = mel.astype(jnp.float32)[:, None]  # B,1,T,F
-
-    # bn0: BatchNorm2d over the mel-bin axis, inference mode (running stats).
+def _apply_bn0(params: Params, x: Array) -> Array:
+    """bn0: BatchNorm2d over the mel-bin axis, inference mode."""
     bn = params["bn0"]
     x = (x - bn["mean"][None, None, None, :]) * jax.lax.rsqrt(bn["var"][None, None, None, :] + 1e-5)
-    x = x * bn["scale"][None, None, None, :] + bn["bias"][None, None, None, :]
+    return x * bn["scale"][None, None, None, :] + bn["bias"][None, None, None, :]
 
-    x = reshape_wav2img(x, cfg)  # B,1,S,S
-    x = x.astype(dtype)
 
-    # patch embed: stride-p conv as patchify + matmul (see clip_vit.patchify)
-    B = x.shape[0]
-    p = cfg.patch_size
-    S = cfg.spec_size
-    img = jnp.transpose(x, (0, 2, 3, 1))  # B,S,S,1
-    gh = gw = S // p
-    patches = img.reshape(B, gh, p, gw, p, cfg.in_chans)
-    patches = patches.transpose(0, 1, 3, 5, 2, 4).reshape(B, gh * gw, cfg.in_chans * p * p)
-    x = linear(patches, params["patch_embed"]["proj"]["w"],
-               params["patch_embed"]["proj"]["b"], precision)
-    x = layer_norm(x, params["patch_embed"]["norm"]["scale"],
-                   params["patch_embed"]["norm"]["bias"])
+def _patchify(img: Array, ph: int, pw: int) -> Array:
+    """[B, H, W, C] → [B, H//ph, W//pw, C*ph*pw] (conv-weight flatten order
+    (C, ph, pw), matching ``conv_w.reshape(D, -1).T`` import)."""
+    B, H, W, C = img.shape
+    gh, gw = H // ph, W // pw
+    img = img[:, :gh * ph, :gw * pw]
+    patches = img.reshape(B, gh, ph, gw, pw, C)
+    return patches.transpose(0, 1, 3, 5, 2, 4).reshape(B, gh, gw, C * ph * pw)
 
-    H = W = gh
+
+def _swin_trunk(params: Params, cfg: HTSATConfig, x: Array, H: int, W: int,
+                dtype, precision) -> Array:
+    """Patch tokens [B, H·W, D] → pooled latent [B, latent_dim]."""
     ws = cfg.window_size
     for s, stage in enumerate(params["stages"]):
         heads = cfg.heads[s]
@@ -316,6 +363,80 @@ def htsat_latent(params: Params, cfg: HTSATConfig, mel: Array, *,
 
     x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
     return jnp.mean(x, axis=1)  # token mean-pool = avgpool of feature map
+
+
+def htsat_latent(params: Params, cfg: HTSATConfig, mel: Array, *,
+                 dtype=jnp.float32, precision=None) -> Array:
+    """log-mel [B, T, F] → pooled latent [B, latent_dim] (the checkpoint's
+    'embedding' output: token mean-pool of the final normed feature map)."""
+    x = _apply_bn0(params, mel.astype(jnp.float32)[:, None])  # B,1,T,F
+    x = reshape_wav2img(x, cfg)  # B,1,S,S
+    x = x.astype(dtype)
+
+    # patch embed: stride-p conv as patchify + matmul (see clip_vit.patchify)
+    B = x.shape[0]
+    p = cfg.patch_size
+    img = jnp.transpose(x, (0, 2, 3, 1))  # B,S,S,1
+    patches = _patchify(img, p, p)
+    gh, gw = patches.shape[1:3]
+    x = linear(patches.reshape(B, gh * gw, -1), params["patch_embed"]["proj"]["w"],
+               params["patch_embed"]["proj"]["b"], precision)
+    x = layer_norm(x, params["patch_embed"]["norm"]["scale"],
+                   params["patch_embed"]["norm"]["bias"])
+    return _swin_trunk(params, cfg, x, gh, gw, dtype, precision)
+
+
+def htsat_latent_fusion(params: Params, cfg: HTSATConfig, mel_fusion: Array, *,
+                        dtype=jnp.float32, precision=None) -> Array:
+    """Fusion forward for the laion_clap fusion variant.
+
+    ``mel_fusion``: [B, 4, T, F] — channel 0 the full-audio mel shrunk to
+    the 10 s frame grid, channels 1-3 three 10 s chunks
+    (``ops/audio.build_mel_fusion``).  Short audio replicates channel 0
+    into 1-3; such rows are detected (channels identical) and bypass the
+    fusion branch, reproducing laion_clap's per-sample ``longer`` gating
+    with static shapes.
+
+    Matches the fusion PatchEmbed: global channel → stride-p conv; local
+    chunks → ``mel_conv2d`` (kernel/stride (p, 3·p)), the three chunks'
+    frames concatenated along the width grid and padded/truncated to the
+    global grid; merged via AFF; then the shared swin trunk.
+    """
+    B = mel_fusion.shape[0]
+    longer = jnp.any(mel_fusion[:, 1] != mel_fusion[:, 0], axis=(-2, -1))
+
+    x = _apply_bn0(params, mel_fusion.astype(jnp.float32))
+    x = reshape_wav2img(x, cfg)  # B,4,S,S
+    x = x.astype(dtype)
+    p = cfg.patch_size
+
+    # Global branch: channel 0 through the standard patch conv.
+    g = _patchify(x[:, 0:1].transpose(0, 2, 3, 1), p, p)   # B,gh,gw,p*p
+    gh, gw = g.shape[1:3]
+    g = linear(g, params["patch_embed"]["proj"]["w"],
+               params["patch_embed"]["proj"]["b"], precision)  # B,gh,gw,D
+
+    # Local branch: channels 1-3 through mel_conv2d (kernel (p, 3p)).
+    loc = x[:, 1:].reshape(B * 3, x.shape[2], x.shape[3])[..., None]
+    loc = _patchify(loc, p, 3 * p)                          # B*3,gh,gl,3p²
+    gl = loc.shape[2]
+    loc = linear(loc, params["patch_embed"]["mel_conv2d"]["w"],
+                 params["patch_embed"]["mel_conv2d"]["b"], precision)
+    D = loc.shape[-1]
+    loc = loc.reshape(B, 3, gh, gl, D).transpose(0, 2, 1, 3, 4)
+    loc = loc.reshape(B, gh, 3 * gl, D)                     # chunks side by side
+    if 3 * gl >= gw:
+        loc = loc[:, :, :gw]
+    else:
+        loc = jnp.pad(loc, ((0, 0), (0, 0), (0, gw - 3 * gl), (0, 0)))
+
+    fused = aff_fuse(params["patch_embed"]["fusion"], g, loc, precision)
+    g = jnp.where(longer[:, None, None, None], fused, g)
+
+    tokens = g.reshape(B, gh * gw, D)
+    tokens = layer_norm(tokens, params["patch_embed"]["norm"]["scale"],
+                        params["patch_embed"]["norm"]["bias"])
+    return _swin_trunk(params, cfg, tokens, gh, gw, dtype, precision)
 
 
 def clap_audio_embedding(params: Params, cfg: HTSATConfig, waveform: Array, *,
@@ -341,11 +462,27 @@ def clap_audio_embedding(params: Params, cfg: HTSATConfig, waveform: Array, *,
 
     mel = log_mel_spectrogram(x)  # [B, frames, 64]
     latent = htsat_latent(params, cfg, mel, dtype=dtype, precision=precision)
+    return _audio_projection(params, latent, precision)
+
+
+def _audio_projection(params: Params, latent: Array, precision=None) -> Array:
     h = linear(latent, params["audio_projection"]["fc1"]["w"],
                params["audio_projection"]["fc1"]["b"], precision)
     h = jnp.maximum(h, 0)
     return linear(h, params["audio_projection"]["fc2"]["w"],
                   params["audio_projection"]["fc2"]["b"], precision)
+
+
+def clap_audio_embedding_fusion(params: Params, cfg: HTSATConfig,
+                                mel_fusion: Array, *, dtype=jnp.float32,
+                                precision=None) -> Array:
+    """mel_fusion [B, 4, frames, 64] (host-built,
+    ``ops/audio.build_mel_fusion``) → CLAP joint-space embedding [B, 512].
+    The fusion answer to >10 s audio — the reference's encoder silently
+    truncates it (laion_clap called without fusion, clap.py:121)."""
+    latent = htsat_latent_fusion(params, cfg, mel_fusion, dtype=dtype,
+                                 precision=precision)
+    return _audio_projection(params, latent, precision)
 
 
 # ---------------------------------------------------------------------------
@@ -370,17 +507,8 @@ def htsat_params_from_laion_clap(state_dict, cfg: HTSATConfig) -> Params:
         k = k[len("module."):] if k.startswith("module.") else k
         sd[k] = _to_np(v)
 
-    fusion_keys = [k for k in sd if "fusion_model" in k or "mel_conv2d" in k]
-    if fusion_keys:
-        import warnings
-
-        warnings.warn(
-            f"checkpoint has {len(fusion_keys)} fusion-branch tensors; the "
-            "fusion path (>10s audio) is not implemented — long audio is "
-            "truncated to the 10s window."
-        )
-
     A = "audio_branch."
+    has_fusion = any("fusion_model" in k or "mel_conv2d" in k for k in sd)
 
     def ln(key):
         return {"scale": jnp.asarray(sd[key + ".weight"]),
@@ -408,6 +536,35 @@ def htsat_params_from_laion_clap(state_dict, cfg: HTSATConfig) -> Params:
                     "b": jnp.asarray(sd["audio_projection.2.bias"])},
         },
     }
+
+    if has_fusion:
+        # mel_conv2d: Conv2d(1, D, kernel (p, 3p), stride (p, 3p)).
+        mc_w = sd[A + "patch_embed.mel_conv2d.weight"]  # [D, 1, p, 3p]
+        params["patch_embed"]["mel_conv2d"] = {
+            "w": jnp.asarray(mc_w.reshape(mc_w.shape[0], -1).T),
+            "b": jnp.asarray(sd[A + "patch_embed.mel_conv2d.bias"]),
+        }
+
+        def conv1x1(key):  # Conv2d(cin, cout, 1) → channel-last linear
+            w = sd[key + ".weight"]  # [cout, cin, 1, 1]
+            return {"w": jnp.asarray(w[:, :, 0, 0].T),
+                    "b": jnp.asarray(sd[key + ".bias"])}
+
+        def bn(key):
+            return {"scale": jnp.asarray(sd[key + ".weight"]),
+                    "bias": jnp.asarray(sd[key + ".bias"]),
+                    "mean": jnp.asarray(sd[key + ".running_mean"]),
+                    "var": jnp.asarray(sd[key + ".running_var"])}
+
+        F = A + "patch_embed.fusion_model."
+        # AFF Sequential indices: local_att = [Conv, BN, ReLU, Conv, BN],
+        # global_att = [AvgPool, Conv, BN, ReLU, Conv, BN].
+        params["patch_embed"]["fusion"] = {
+            "local": {"conv1": conv1x1(F + "local_att.0"), "bn1": bn(F + "local_att.1"),
+                      "conv2": conv1x1(F + "local_att.3"), "bn2": bn(F + "local_att.4")},
+            "global": {"conv1": conv1x1(F + "global_att.1"), "bn1": bn(F + "global_att.2"),
+                       "conv2": conv1x1(F + "global_att.4"), "bn2": bn(F + "global_att.5")},
+        }
 
     for s in range(len(cfg.depths)):
         prefix = f"{A}layers.{s}."
@@ -464,7 +621,10 @@ def load_clap(variant: str = "HTSAT-tiny", checkpoint_path: Optional[str] = None
             text = clap_text_params_from_laion_clap(sd)
             if text is None:
                 text = init_clap_text(cfg.embedding_dim)
-            return htsat_params_from_laion_clap(sd, cfg), cfg, text
+            params = htsat_params_from_laion_clap(sd, cfg)
+            if "mel_conv2d" in params["patch_embed"]:
+                cfg = dataclasses.replace(cfg, enable_fusion=True)
+            return params, cfg, text
 
     import warnings
 

@@ -194,3 +194,65 @@ def log_mel_spectrogram(
     mel = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
     mel_spec = jnp.einsum("bfk,mk->bfm", power, mel)
     return 10.0 * jnp.log10(jnp.maximum(mel_spec, 1e-10))
+
+
+def log_mel_numpy(waveform: np.ndarray, sr: int = CLAP_SAMPLE_RATE,
+                  n_fft: int = CLAP_N_FFT, hop: int = CLAP_HOP,
+                  n_mels: int = CLAP_N_MELS, fmin: float = CLAP_FMIN,
+                  fmax: float = CLAP_FMAX) -> np.ndarray:
+    """Host-side (numpy) twin of ``log_mel_spectrogram`` for variable-length
+    audio — the fusion transform runs per-file on host where a jitted mel
+    would recompile for every distinct length.  [T] → [frames, n_mels]."""
+    pad = n_fft // 2
+    x = np.pad(waveform.astype(np.float32), (pad, pad), mode="reflect")
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    window = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    spec = np.fft.rfft(x[idx] * window, axis=-1)
+    power = np.square(np.abs(spec)).astype(np.float32)
+    mel = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+    mel_spec = power @ mel.T
+    return (10.0 * np.log10(np.maximum(mel_spec, 1e-10))).astype(np.float32)
+
+
+CLAP_CHUNK_FRAMES = 1 + CLAP_CLIP_SAMPLES // CLAP_HOP  # 1001 mel frames / 10 s
+
+
+def _resize_bilinear_frames(mel: np.ndarray, target: int) -> np.ndarray:
+    """Bilinear resize along the frame axis (align_corners=False, the
+    torchvision ``Resize`` convention laion_clap's fusion shrink uses)."""
+    T, F = mel.shape
+    if T == target:
+        return mel
+    pos = (np.arange(target) + 0.5) * (T / target) - 0.5
+    pos = np.clip(pos, 0, T - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, T - 1)
+    frac = (pos - lo).astype(np.float32)[:, None]
+    return (mel[lo] * (1.0 - frac) + mel[hi] * frac).astype(np.float32)
+
+
+def build_mel_fusion(waveform: np.ndarray) -> np.ndarray:
+    """Fusion input for >10 s audio (laion_clap ``get_audio_features`` with
+    ``data_truncating='fusion'``): ``[4, CLAP_CHUNK_FRAMES, n_mels]`` —
+    channel 0 the full mel shrunk to the 10 s frame count, channels 1-3
+    three 10 s chunks.  laion_clap draws each chunk start uniformly from a
+    third of the overhang; serving here is deterministic — the center of
+    each third.  Audio ≤ 10 s replicates its (padded) mel into all four
+    channels; the model detects that and skips the fusion branch."""
+    mel = log_mel_numpy(waveform)
+    T = mel.shape[0]
+    C = CLAP_CHUNK_FRAMES
+    if T <= C:
+        if T < C:
+            mel = np.pad(mel, ((0, C - T), (0, 0)))
+        return np.stack([mel] * 4)
+    overhang = T - C
+    shrink = _resize_bilinear_frames(mel, C)
+    chunks = []
+    for third in range(3):
+        lo = overhang * third // 3
+        hi = overhang * (third + 1) // 3
+        start = (lo + hi) // 2
+        chunks.append(mel[start:start + C])
+    return np.stack([shrink] + chunks)
