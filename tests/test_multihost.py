@@ -1,0 +1,113 @@
+"""Two-process multi-host integration (VERDICT r1 item 7).
+
+Spawns two REAL processes with a local coordinator and verifies the
+reference's scale-out capabilities on the JAX-native backend:
+
+* ``maybe_initialize`` forms the 2-process cluster (reference analog:
+  Lightning NCCL init / pyspark cluster, SURVEY.md §5.8);
+* ``MultiHostDistributor`` assigns disjoint, covering partition sets
+  (reference /root/reference/clipcap/preprocess/distributor.py:24-48);
+* a ZeRO-1 sharded train step runs over the global 4-device mesh with each
+  process feeding its local shard, and both processes agree on the psum'd
+  loss — which also matches a single-process run of the identical program.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHILD = os.path.join(REPO, "tests", "_multihost_child.py")
+NPROC = 2
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def child_results(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("multihost")
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(NPROC):
+        out = tmp / f"proc{pid}.json"
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES=str(NPROC),
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, CHILD, str(out)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+        outs.append(out)
+    logs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"child {p.args} failed:\n{log}"
+    return [json.loads(o.read_text()) for o in outs]
+
+
+def test_cluster_formed(child_results):
+    for r in child_results:
+        assert r["process_count"] == NPROC
+        assert r["local_devices"] == 2
+        assert r["global_devices"] == 4  # every process sees the global set
+
+
+def test_distributor_partitions_disjoint_and_covering(child_results):
+    by_proc = {r["process"]: r["claimed"] for r in child_results}
+    assert by_proc[0] == [0, 2, 4, 6]
+    assert by_proc[1] == [1, 3, 5]
+
+
+def test_sharded_step_loss_agrees_across_processes(child_results):
+    losses = [r["losses"] for r in child_results]
+    assert losses[0] == losses[1]  # psum'd scalar is bitwise-identical
+    assert all(np.isfinite(losses[0]))
+    assert losses[0][-1] < losses[0][0]  # the step actually trains
+
+
+def test_matches_single_process_run(child_results):
+    """The 2-process program computes the same losses as the identical
+    single-process 4-device program — data sharding is semantically
+    invisible, the DDP contract."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as ge
+    from clipcap_tpu.parallel.mesh import MeshConfig, make_mesh
+    from clipcap_tpu.train.state import create_train_state, make_optimizer
+    from clipcap_tpu.train.step import make_train_step
+
+    model = ge._tiny_model(train_language_model=True)
+    tx = make_optimizer(lr=1e-3, warmup_steps=0, total_steps=50,
+                        train_language_model=True)
+    state = create_train_state(model.params, tx)
+    mesh = make_mesh(MeshConfig(data=4), devices=jax.devices()[:4])
+    step_fn, state = make_train_step(
+        mesh, state, tx, model.lm_config, model.mapper_config,
+        prefix_length=model.config.prefix_length, dtype=jnp.float32,
+        zero1=True,
+    )
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(1, 512, size=(8, 8)).astype(np.int32)
+    tokens[:, -2:] = -1
+    embeds = rng.normal(size=(8, 32)).astype(np.float32)
+
+    losses = []
+    for _ in range(3):
+        state, metrics = step_fn(state, jnp.asarray(tokens), jnp.asarray(embeds))
+        losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(losses, child_results[0]["losses"], rtol=2e-5)
