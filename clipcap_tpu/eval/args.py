@@ -39,6 +39,14 @@ def add_eval_args(parser: ArgumentParser) -> ArgumentParser:
              "32 = float32 (reference-faithful).",
     )
     ev.add_argument(
+        "--allow-fallback-tokenizer", action="store_true",
+        help="Proceed even when only the byte-level fallback tokenizer is "
+             "available (no GPT-2 vocab files; run clipcap-init to fetch "
+             "them). Generated token ids then do NOT match a pretrained "
+             "GPT-2, so scores against real references are meaningless — "
+             "eval refuses by default instead of reporting them silently.",
+    )
+    ev.add_argument(
         "--eval-batch-size", type=int, default=32,
         help="Samples per device batch during generation (the whole "
              "encoder->mapper->decode chain runs batched; the reference "

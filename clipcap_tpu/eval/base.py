@@ -33,6 +33,19 @@ def prepare_model(args: Namespace):
         args.model_path, args.config_path,
         device=args.device, from_checkpoint=args.is_checkpoint,
     )
+    from clipcap_tpu.utils.tokenizer import ByteTokenizer
+
+    if isinstance(tokenizer, ByteTokenizer) and not getattr(
+        args, "allow_fallback_tokenizer", False
+    ):
+        raise RuntimeError(
+            "eval needs the real GPT-2 tokenizer: only the byte-level "
+            "fallback is available, so generated captions would not match a "
+            "pretrained GPT-2 and every score would be meaningless. Run "
+            "clipcap-init (or set CLIPCAP_TOKENIZER_PATH) to fetch the vocab "
+            "files, or pass --allow-fallback-tokenizer to proceed anyway "
+            "(smoke tests only)."
+        )
     encode_method, sample_processor = get_encoder_from_model(model, device=args.device)
     return model, tokenizer, encode_method, sample_processor
 

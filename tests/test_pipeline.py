@@ -295,6 +295,7 @@ def test_eval_cli_end_to_end(tmp_path):
         "--csv-reference-caption-columns", "cap_{1..5}",
         "--eval-batch-size", "2",  # 3 samples -> full batch + padded tail
         "--number-to-generate", "2",
+        "--allow-fallback-tokenizer",  # offline CI has no GPT-2 vocab files
         "--save-predictions", preds_json,
         "--save-file", scores_json,
     ])
@@ -306,6 +307,22 @@ def test_eval_cli_end_to_end(tmp_path):
     scores = json.load(open(scores_json))
     for key in ("bleu_1", "bleu_4", "rouge_l", "cider", "meteor", "spice", "spider"):
         assert any(key in k.lower() for k in scores), (key, scores.keys())
+
+    # Without --allow-fallback-tokenizer, eval must REFUSE to score with the
+    # byte-fallback tokenizer (ids don't match a pretrained GPT-2, so the
+    # scores would be silently meaningless).
+    import pytest
+
+    from clipcap_tpu.eval.base import prepare_model
+
+    strict_args = parser.parse_args([
+        "--model-path", os.path.join(models_out, "clipcap_final.npz"),
+        "--config-path", os.path.join(models_out, "clipcap_config.yaml"),
+        "--sample-path", str(eval_dir),
+        "--reference-csv", csv_path,
+    ])
+    with pytest.raises(RuntimeError, match="byte-level"):
+        prepare_model(strict_args)
 
 
 def test_load_reference_torch_checkpoint(tmp_path):
