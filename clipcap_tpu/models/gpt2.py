@@ -129,11 +129,21 @@ def init_gpt2(cfg: GPT2Config, seed: int = 0) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+# Cache slot counts are padded to this quantum so the flash-decode kernel's
+# u-tiles (ops/flash_decode._U_TILE) always divide the buffer.  Slots past
+# the logical capacity are never written and always causally masked.
+CACHE_SLOT_QUANTUM = 128
+
+
 def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
                   beam_size: Optional[int] = None):
     """Preallocated fixed-shape KV cache, K and V **interleaved**.
 
-    One buffer per layer, ``[batch, n_head, max_len, 2*head_dim]`` — K in
+    One buffer per layer, ``[batch, n_head, slots, 2*head_dim]`` — K in
     ``[..., :head_dim]``, V in ``[..., head_dim:]``.  Per-layer buffers
     (instead of one stacked ``[n_layer, ...]`` array) let XLA update each
     layer's slice **in place** inside the decode ``while_loop`` — a stacked
@@ -150,16 +160,28 @@ def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
     (``ops/flash_decode``) streams each cache byte exactly once per step.
 
     With ``beam_size`` K (rows grouped K-per-sample), the layout is
-    ``[batch/K, n_head, K*max_len, 2*head_dim]``: row ``kb``'s cache slot
-    for position ``t`` lives at flat index ``kb*max_len + t``.  The (sample,
-    head) batch dims lead in both attention operands, so XLA's dot_general
-    needs no physical cache transpose (the ``[B,H,T,Dh]`` view cost a full
-    cache transpose per layer per step — measured 12x step-time blowup).
+    ``[batch/K, n_head, slots, 2*head_dim]`` and **time-major**: row
+    ``kb``'s cache slot for position ``t`` lives at flat index ``t*K + kb``.
+    Time-major means (a) the slots written so far form a contiguous prefix,
+    which lets the flash kernel bound its dynamic grid to the valid region
+    (early decode steps stream a fraction of the cache — attention cost is
+    proportional to contraction length, measured on v5e), and (b) the
+    per-step K/V write for all K rows is ONE ``dynamic_update_slice``.
+    The (sample, head) batch dims lead in both attention operands, so XLA's
+    dot_general needs no physical cache transpose (the ``[B,H,T,Dh]`` view
+    cost a full cache transpose per layer per step — measured 12x step-time
+    blowup).
+
+    ``slots`` is ``max_len`` (or ``beam_size*max_len``) rounded up to
+    ``CACHE_SLOT_QUANTUM`` so the kernel's u-tiles divide the buffer; the
+    padding is never written and the causal masks hide it.
     """
     if beam_size is not None:
-        shape = (batch // beam_size, cfg.n_head, beam_size * max_len, 2 * cfg.head_dim)
+        slots = _round_up(beam_size * max_len, CACHE_SLOT_QUANTUM)
+        shape = (batch // beam_size, cfg.n_head, slots, 2 * cfg.head_dim)
     else:
-        shape = (batch, cfg.n_head, max_len, 2 * cfg.head_dim)
+        slots = _round_up(max_len, CACHE_SLOT_QUANTUM)
+        shape = (batch, cfg.n_head, slots, 2 * cfg.head_dim)
     return tuple(jnp.zeros(shape, dtype=dtype) for _ in range(cfg.n_layer))
 
 
@@ -218,12 +240,14 @@ def _cached_block(
     read.  Prefill therefore assumes ``cache_index == 0`` (full-context
     prefill, which is how the engine and beam search always call it).
 
-    Decode (S == 1) reads the whole cache.  With ``flash=True`` the masked
-    softmax attention runs as one Pallas kernel pass over the interleaved
-    buffer (``ops/flash_decode``) — each cache byte is read exactly once.
-    The XLA fallback slices K and V from the buffer (reads full 128-wide
-    tiles twice — the layout keeps it no worse than the old padded split
-    buffers, at half the memory).
+    Decode (S == 1) attends over the written cache.  With ``flash=True``
+    the masked softmax attention runs as one Pallas kernel pass over the
+    interleaved buffer (``ops/flash_decode``), dynamically bounded to the
+    ``cache_index+1`` written positions (time-major slots form a contiguous
+    prefix) — each VALID cache byte is read exactly once and the padding
+    tail is never touched.  The XLA fallback slices K and V from the full
+    buffer (reads full 128-wide tiles twice — the layout keeps it no worse
+    than the old padded split buffers, at half the memory).
 
     With ``beam_size`` K (rows grouped K-per-sample) attention implements
     the lazy (gather-free) beam reorder: rather than physically gathering
@@ -265,7 +289,8 @@ def _cached_block(
 
             mask = (bias[:, 0] if bias is not None
                     else jnp.zeros((1, 1, T), jnp.float32))  # [Bm, 1, T]
-            attn = flash_decode(q, ckv, mask)                # [B,H,1,Dh]
+            attn = flash_decode(q, ckv, mask,
+                                u_valid=cache_index + 1)     # [B,H,1,Dh]
         else:
             kx = ckv[..., :Dh].astype(x.dtype)
             vx = ckv[..., Dh:].astype(x.dtype)
@@ -280,17 +305,18 @@ def _cached_block(
     else:
         K = beam_size
         R = B // K
-        T = ckv.shape[2] // K
         assert bias is None or bias.shape[0] == 1, "beam mode: broadcast bias only"
         # [B,S,H*Dh] -> [R,H,K,S,Dh]
         qg = q.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
         kg = k.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
         vg = v.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
         new_kv = jnp.concatenate([kg, vg], axis=-1).astype(ckv.dtype)  # [R,H,K,S,2Dh]
-        for kb in range(K):  # row kb's slots live at flat [kb*T, (kb+1)*T)
-            ckv = jax.lax.dynamic_update_slice(
-                ckv, new_kv[:, :, kb], (0, 0, kb * T + cache_index, 0)
-            )
+        # Time-major slots (t*K + kb): positions [cache_index, cache_index+S)
+        # for all K rows are one contiguous slot range — ONE in-place update.
+        new_flat = new_kv.transpose(0, 1, 3, 2, 4).reshape(R, H, S * K, 2 * Dh)
+        ckv = jax.lax.dynamic_update_slice(
+            ckv, new_flat, (0, 0, cache_index * K, 0)
+        )
 
         if ancestry is None:
             # Prefill: block-local causal attention (batch dims r,h,k).
@@ -309,7 +335,8 @@ def _cached_block(
             if flash:
                 from clipcap_tpu.ops.flash_decode import flash_decode
 
-                attn = flash_decode(q1, ckv, ancestry)    # [R,H,K,Dh]
+                attn = flash_decode(q1, ckv, ancestry,
+                                    u_valid=(cache_index + 1) * K)  # [R,H,K,Dh]
             else:
                 ku = ckv[..., :Dh].astype(x.dtype)        # [R,H,U,Dh]
                 vu = ckv[..., Dh:].astype(x.dtype)
@@ -412,10 +439,13 @@ def gpt2_apply(
     B, S, D = x.shape
 
     if kv_cache is not None:
-        # Interleaved cache [.., T, 2*Dh] (beam: [.., K*T, 2*Dh]); T = slots.
+        # Interleaved cache [.., slots, 2*Dh]; slots are padded to the
+        # flash u-tile quantum (init_kv_cache) — padding is causally masked.
         slots = kv_cache[0].shape[2]
         offset = cache_index
-        T = slots // beam_size if beam_size is not None else slots
+        # Beam mode: the causal bias is only consulted block-locally during
+        # prefill (decode uses the ancestry mask), so S columns suffice.
+        T = S if beam_size is not None else slots
     else:
         offset = 0
         T = S
@@ -425,6 +455,12 @@ def gpt2_apply(
 
     bias = causal_bias(S, T, offset)
     if attention_mask is not None:
+        if attention_mask.shape[-1] < T:
+            # Mask given over the logical capacity; cache slots are padded
+            # to the u-tile quantum — padded slots are invalid.
+            attention_mask = jnp.pad(
+                attention_mask, ((0, 0), (0, T - attention_mask.shape[-1]))
+            )
         pad_bias = jnp.where(attention_mask.astype(bool), 0.0, NEG_INF).astype(jnp.float32)
         bias = bias + pad_bias[:, None, None, :]
 
@@ -440,18 +476,20 @@ def gpt2_apply(
         beam_mask = None
         if ancestry is not None:
             # Build the flat-context beam selection mask ONCE per step (all
-            # layers share it): [R, K, K*T] fp32, 0 where row j holds beam
-            # k's K/V for position t (and t is causally visible), else -inf.
+            # layers share it): [R, K, slots] fp32, 0 where time-major slot
+            # ``t*K + j`` (row j, position t) holds beam k's K/V and t is
+            # causally visible, else -inf.
             assert beam_size is not None and S == 1
             K = beam_size
             R = B // K
-            sel = ancestry.reshape(R, K, 1, T) == jax.lax.broadcasted_iota(
-                jnp.int32, (1, 1, K, 1), 2
-            )                                             # [R,K(query),K(row),T]
-            tpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
-            visible = jnp.logical_and(sel, tpos <= offset)
+            Tl = ancestry.shape[1]                     # logical capacity
+            anc = jnp.repeat(ancestry.reshape(R, K, Tl), K, axis=-1)
+            if slots > K * Tl:                         # u-tile padding slots
+                anc = jnp.pad(anc, ((0, 0), (0, 0), (0, slots - K * Tl)),
+                              constant_values=-1)      # never matches a row
+            s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, slots), 2)
+            visible = jnp.logical_and(anc == s_iota % K, s_iota // K <= offset)
             beam_mask = jnp.where(visible, 0.0, NEG_INF).astype(jnp.float32)
-            beam_mask = beam_mask.reshape(R, K, K * T)
 
         # Unrolled layer loop with per-layer cache buffers: each layer's
         # dynamic_update_slice aliases its buffer in place across the decode

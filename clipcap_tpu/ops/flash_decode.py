@@ -8,28 +8,41 @@ Why this exists (measured on TPU v5e, gpt2-xl beam-5 serving):
   gpt2-xl OOMed a 16 GB chip at 17.4 GB) and every read of it.  The decode
   loop reads the whole cache every step, so cache reads are the dominant
   HBM traffic after the weights themselves.
-* The XLA decode path needs two separate dots (q·K logits, weights·V), each
-  streaming its padded operand from HBM.
+* Decode attention cost scales with the *contraction length* (measured:
+  per-block time is insensitive to rows-per-block G but proportional to
+  slots U — both the cache DMA and the MXU contraction cycles grow with U).
+  A fixed-shape kernel therefore pays for the FULL preallocated context on
+  every step, even though step ``t`` can only see ``t + prefix`` positions
+  — for the 67-token beam-5 serving config that's ~1.75x the necessary
+  attention work on average.
 
-The fix is a cache layout + a kernel:
+The fix is a cache layout + a dynamically bounded kernel:
 
 * K and V live **interleaved** in one buffer ``[..., U, 2*Dh]`` whose minor
   dim is exactly 128 for Dh=64 — zero lane padding (`models/gpt2.py
-  init_kv_cache`).
-* This kernel performs the whole masked-softmax attention step with ONE
-  pass over that buffer: each grid step DMAs a row-block of the cache into
-  VMEM once and computes logits, softmax and the value contraction from
-  VMEM.  Cache bytes are read exactly once per decode step — the
-  speed-of-light for this op.
+  init_kv_cache`).  Beam caches are **time-major**: the slot for (beam row
+  kb, position t) is ``t*K + kb``, so the slots written so far form a
+  contiguous prefix of the buffer (and the per-step K/V write is ONE
+  ``dynamic_update_slice`` instead of K).
+* The kernel runs a 2-D grid ``(row_blocks, u_tiles)`` where the number of
+  u-tiles is a **traced scalar** — Mosaic's dynamic-grid support turns it
+  into a runtime loop bound.  Each decode step contracts only
+  ``ceil(u_valid / U_TILE)`` tiles, where ``u_valid`` is the number of
+  slots written so far: early steps stream a fraction of the cache instead
+  of all of it.  Tiles combine with the standard flash online-softmax
+  recurrence carried in VMEM scratch.
 
 Semantics match the XLA decode path in ``models/gpt2.py::_cached_block``:
-fp32 logits + additive mask (the beam ancestry/causal mask), fp32 softmax,
-value contraction accumulated in fp32.  Off-TPU the kernel runs in Pallas
-interpret mode so CPU tests exercise the identical code path.
+fp32 logits + additive mask (the beam ancestry/causal mask), fp32 softmax
+(computed online), value contraction in the compute dtype accumulated in
+fp32.  Slots of the final partial tile beyond ``u_valid`` are covered by
+the causal/ancestry mask, never by implicit bounds.  Off-TPU the kernel
+runs in Pallas interpret mode so CPU tests exercise the identical path.
 """
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -39,14 +52,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# Target VMEM residency per cache block (double-buffered by the pipeline).
-_BLOCK_BYTES_TARGET = 2.5 * 2 ** 20
+# Cache slots per u-tile (kept at the 128 lane/tile quantum: tight dynamic
+# bounds, well-shaped DMAs).  Overridable for on-hardware tuning.
+_U_TILE = int(_os.environ.get("CLIPCAP_FLASH_U_TILE", 128))
+# Target VMEM residency per kv tile (double-buffered by the pipeline).
+_BLOCK_BYTES_TARGET = float(_os.environ.get("CLIPCAP_FLASH_BLOCK_MB", 2.5)) * 2 ** 20
 
 
-def _row_block(R: int, H: int, U: int, Dh: int, itemsize: int) -> int:
-    """Rows per grid step: biggest divisor of R whose cache block fits the
-    VMEM target (at least 1)."""
-    per_row = H * U * 2 * Dh * itemsize
+def _row_block(R: int, H: int, u_tile: int, Dh: int, itemsize: int) -> int:
+    """Rows per grid step: biggest divisor of R whose kv tile fits the VMEM
+    target (at least 1)."""
+    per_row = H * u_tile * 2 * Dh * itemsize
     g = max(1, int(_BLOCK_BYTES_TARGET // max(1, per_row)))
     g = min(g, R)
     while R % g:
@@ -54,87 +70,145 @@ def _row_block(R: int, H: int, U: int, Dh: int, itemsize: int) -> int:
     return g
 
 
-def _kernel(q_ref, kv_ref, mask_ref, out_ref, *, scale: float, Dh: int):
-    """q_ref: [G, H, K, 2*Dh] (query zero-padded over the V half),
-    kv_ref: [G, H, U, 2*Dh] interleaved, mask_ref: [Gm, K, U] fp32,
-    out_ref: [G, H, K, Dh].
+def _kernel(q_ref, kv_ref, mask_ref, out_ref, m_ref, l_ref, acc_ref, *,
+            scale: float, Dh: int):
+    """One (row-block, u-tile) grid step.
 
-    The interleaved block is used UNSLICED in both dots — an in-kernel
-    ``[..., :Dh]`` lane-slice forces Mosaic to repack the whole block into a
-    new (padded) layout, which costs more than the attention itself:
+    q_ref:    [G, H, K, 2*Dh] (query zero-padded over the V half)
+    kv_ref:   [G, H, UT, 2*Dh] interleaved cache tile
+    mask_ref: [Gm, K, UT] fp32 additive
+    out_ref:  [G, H, K, Dh] — written on the last u-tile
+    scratch:  m/l [G, H, K] f32 running max / denominator,
+              acc [G, H, K, 2*Dh] f32 running value accumulator.
+
+    The interleaved tile is used UNSLICED in both dots — an in-kernel
+    ``[..., :Dh]`` lane-slice forces Mosaic to repack the whole block into
+    a new (padded) layout, which costs more than the attention itself:
 
     * logits: ``q_pad · kv^T`` — the V half of each row multiplies q's zero
       padding, so the result is exactly ``q · k`` (contraction over 128
       lanes, natural layout).
     * values: ``w · kv`` — columns [Dh:] are exactly ``w · v``; the K-half
-      columns are discarded at the output write.
+      columns are discarded at the final output write.
     """
+    u = pl.program_id(1)
+    n_u = pl.num_programs(1)
     G, H, K, _ = q_ref.shape
-    U = kv_ref.shape[2]
+
+    @pl.when(u == 0)
+    def _init():
+        m_ref[:] = jnp.full(m_ref.shape, -jnp.inf, m_ref.dtype)
+        l_ref[:] = jnp.zeros(l_ref.shape, l_ref.dtype)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    UT = kv_ref.shape[2]
     # Merge the leading (G, H) dims: layout-free (tiling is on the last two
     # dims) and Mosaic's matmul supports at most ONE batch dim.
     q = q_ref[:].reshape(G * H, K, 2 * Dh)
-    kv = kv_ref[:].reshape(G * H, U, 2 * Dh)
+    kv = kv_ref[:].reshape(G * H, UT, 2 * Dh)
 
-    # [G*H, K, U] fp32: batch dim (gh), contract the full 128 lanes.
+    # [G*H, K, UT] fp32: batch dim (gh), contract the full 128 lanes.
     logits = jax.lax.dot_general(
         q, kv, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale
-    logits = logits.reshape(G, H, K, U) + mask_ref[:][:, None]  # mask: [G, K, U]
+    logits = logits.reshape(G, H, K, UT) + mask_ref[:][:, None]  # mask: [G,K,UT]
 
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    w = jnp.exp(logits - m)
-    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    # Online softmax (flash recurrence), fp32.  Masks use the finite
+    # NEG_INF (-1e9), so max(logits) is always finite; the -inf init makes
+    # the first tile's alpha exp(-inf - finite) = 0 with no special cases.
+    m_old = m_ref[:]
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1))
+    alpha = jnp.exp(m_old - m_new)
+    w = jnp.exp(logits - m_new[..., None])      # [G, H, K, UT]
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(w, axis=-1)
+    m_ref[:] = m_new
 
-    out = jax.lax.dot_general(
-        w.reshape(G * H, K, U).astype(q.dtype), kv,
+    wv = jax.lax.dot_general(
+        w.reshape(G * H, K, UT).astype(q_ref.dtype), kv,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                               # [G*H, K, 2*Dh]
-    out_ref[:] = out.reshape(G, H, K, 2 * Dh)[..., Dh:].astype(out_ref.dtype)
+    ).reshape(G, H, K, 2 * Dh)
+    acc_ref[:] = acc_ref[:] * alpha[..., None] + wv
+
+    @pl.when(u == n_u - 1)
+    def _finish():
+        denom = jnp.maximum(l_ref[:], 1e-30)[..., None]
+        out_ref[:] = (acc_ref[:] / denom)[..., Dh:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def flash_decode(q: Array, kv: Array, mask: Array, interpret: bool | None = None) -> Array:
+@functools.partial(jax.jit, static_argnames=("u_tile", "interpret"))
+def _flash_call(q_pad: Array, kv: Array, mask: Array, n_u: Array,
+                u_tile: int, interpret: bool) -> Array:
+    R, H, K, Dh2 = q_pad.shape
+    Dh = Dh2 // 2
+    Rm = mask.shape[0]
+    scale = 1.0 / np.sqrt(Dh)
+    G = _row_block(R, H, u_tile, Dh, kv.dtype.itemsize)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale, Dh=Dh),
+        grid=(R // G, n_u),
+        in_specs=[
+            pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, u_tile, 2 * Dh), lambda r, u: (r, 0, u, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G if Rm > 1 else 1, K, u_tile),
+                         (lambda r, u: (r, 0, u)) if Rm > 1
+                         else (lambda r, u: (0, 0, u)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, H, K, Dh), lambda r, u: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, H, K, Dh), q_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((G, H, K), jnp.float32),
+            pltpu.VMEM((G, H, K), jnp.float32),
+            pltpu.VMEM((G, H, K, 2 * Dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_pad, kv, mask)
+
+
+def flash_decode(q: Array, kv: Array, mask: Array,
+                 u_valid: Array | int | None = None,
+                 interpret: bool | None = None) -> Array:
     """One decode step of masked attention over an interleaved KV cache.
 
     q:    [R, H, K, Dh]   — this step's queries (K beams per group; K=1 for
                             plain batched sampling).
     kv:   [R, H, U, 2*Dh] — interleaved cache, K in ``[..., :Dh]``,
-                            V in ``[..., Dh:]``.
+                            V in ``[..., Dh:]``.  Beam caches are
+                            time-major: slot ``t*K + kb``.
     mask: [Rm, K, U] fp32 additive (0 = visible, -inf/NEG_INF = hidden),
           Rm ∈ {1, R} (1 broadcasts across rows — the plain causal case).
+    u_valid: slots written so far (traced scalar OK) — the kernel contracts
+          only ``ceil(u_valid / U_TILE)`` tiles.  Slots of the last partial
+          tile beyond ``u_valid`` MUST be masked by ``mask`` (the causal /
+          ancestry masks guarantee this).  ``None`` → the full buffer.
     → [R, H, K, Dh] in q's dtype.
     """
     R, H, K, Dh = q.shape
     U = kv.shape[2]
-    Rm = mask.shape[0]
-    scale = 1.0 / np.sqrt(Dh)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    G = _row_block(R, H, U, Dh, kv.dtype.itemsize)
-    grid = (R // G,)
+    if U % _U_TILE == 0:
+        u_tile = _U_TILE
+        if u_valid is None:
+            n_u = jnp.int32(U // u_tile)
+        else:
+            n_u = jnp.clip(pl.cdiv(jnp.asarray(u_valid, jnp.int32), u_tile),
+                           1, U // u_tile)
+    else:
+        # Tiny / legacy shapes: one tile spanning the whole buffer.  The
+        # dynamic bound degenerates but correctness is unchanged.
+        u_tile, n_u = U, jnp.int32(1)
 
     # Zero-pad q over the V half so the kernel can use the interleaved
-    # cache block unsliced (see _kernel docstring).  q is tiny.
+    # cache tile unsliced (see _kernel docstring).  q is tiny.
     q_pad = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
-
-    return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, Dh=Dh),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((G, H, K, 2 * Dh), lambda r: (r, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H, U, 2 * Dh), lambda r: (r, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G if Rm > 1 else 1, K, U),
-                         (lambda r: (r, 0, 0)) if Rm > 1 else (lambda r: (0, 0, 0)),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((G, H, K, Dh), lambda r: (r, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, H, K, Dh), q.dtype),
-        interpret=interpret,
-    )(q_pad, kv, mask if Rm > 1 else jnp.broadcast_to(mask, (1, K, U)))
+    Rm = mask.shape[0]
+    mask = mask if Rm > 1 else jnp.broadcast_to(mask, (1, K, U))
+    return _flash_call(q_pad, kv, mask, n_u, u_tile, interpret)
