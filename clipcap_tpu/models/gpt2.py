@@ -466,12 +466,15 @@ def gpt2_apply(
 
     if kv_cache is not None:
         if flash is None:
+            import os
+
             flash = (
                 S == 1
                 and dtype == jnp.bfloat16
                 and kv_cache[0].dtype == dtype
                 and precision is None
                 and jax.default_backend() == "tpu"
+                and os.environ.get("CLIPCAP_DISABLE_FLASH") != "1"
             )
         beam_mask = None
         if ancestry is not None:

@@ -218,3 +218,50 @@ def test_int8_weight_quantization(tiny_jax):
     err = float(jnp.max(jnp.abs(out - ref)))
     scale = float(jnp.max(jnp.abs(ref))) + 1e-6
     assert err / scale < 0.05, (err, scale)
+
+
+def test_flash_decode_odd_head_count():
+    """gpt2-xl has 25 heads — the head-pairing cache pads to 26 with a zero
+    head.  Pin flash == XLA on an odd-head config (pad head must never leak
+    into outputs), both plain and beam decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.models.gpt2 import GPT2Config, init_gpt2
+
+    cfg = GPT2Config(vocab_size=128, n_positions=64, n_embd=96, n_layer=2,
+                     n_head=3, name="odd-heads")
+    params = init_gpt2(cfg, seed=3)
+    rng = np.random.default_rng(7)
+
+    B, P, T = 2, 4, 10
+    embeds = jnp.asarray(rng.normal(size=(B, P, cfg.n_embd)), jnp.float32)
+    cache = init_kv_cache(cfg, B, max_len=T, dtype=jnp.float32)
+    _, cache = gpt2_apply(params, cfg, inputs_embeds=embeds, kv_cache=cache,
+                          cache_index=jnp.int32(0), dtype=jnp.float32,
+                          flash=False)
+    step = jnp.asarray(rng.normal(size=(B, 1, cfg.n_embd)), jnp.float32)
+    ref, _ = gpt2_apply(params, cfg, inputs_embeds=step, kv_cache=cache,
+                        cache_index=jnp.int32(P), dtype=jnp.float32, flash=False)
+    out, _ = gpt2_apply(params, cfg, inputs_embeds=step, kv_cache=cache,
+                        cache_index=jnp.int32(P), dtype=jnp.float32, flash=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+
+    R, K = 2, 3
+    Bk = R * K
+    pe = jnp.asarray(rng.normal(size=(Bk, P, cfg.n_embd)), jnp.float32)
+    bcache = init_kv_cache(cfg, Bk, max_len=T, dtype=jnp.float32, beam_size=K)
+    _, bcache = gpt2_apply(params, cfg, inputs_embeds=pe, kv_cache=bcache,
+                           cache_index=jnp.int32(0), dtype=jnp.float32,
+                           beam_size=K, flash=False)
+    ancestry = jnp.asarray(rng.integers(0, K, size=(Bk, T)), jnp.int32)
+    bstep = jnp.asarray(rng.normal(size=(Bk, 1, cfg.n_embd)), jnp.float32)
+    bref, _ = gpt2_apply(params, cfg, inputs_embeds=bstep, kv_cache=bcache,
+                         cache_index=jnp.int32(P), dtype=jnp.float32,
+                         beam_size=K, ancestry=ancestry, flash=False)
+    bout, _ = gpt2_apply(params, cfg, inputs_embeds=bstep, kv_cache=bcache,
+                         cache_index=jnp.int32(P), dtype=jnp.float32,
+                         beam_size=K, ancestry=ancestry, flash=True)
+    np.testing.assert_allclose(np.asarray(bout), np.asarray(bref),
+                               atol=1e-5, rtol=1e-4)
