@@ -265,3 +265,38 @@ def test_flash_decode_odd_head_count():
                          beam_size=K, ancestry=ancestry, flash=True)
     np.testing.assert_allclose(np.asarray(bout), np.asarray(bref),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_cached_decode_attention_mask_pads_to_slots(tiny_jax):
+    """gpt2_apply pads a [B, max_len] attention_mask to the cache's padded
+    slot count (init_kv_cache rounds slots to the u-tile quantum); masked
+    slots must be excluded identically on the flash and XLA paths."""
+    import jax.numpy as jnp
+
+    params, cfg = tiny_jax
+    rng = np.random.default_rng(21)
+    B, P, T = 2, 5, 12
+    embeds = jnp.asarray(rng.normal(size=(B, P, cfg.n_embd)), jnp.float32)
+    cache = init_kv_cache(cfg, B, max_len=T, dtype=jnp.float32)
+    assert cache[0].shape[2] == 128  # quantum-padded slots
+
+    _, cache = gpt2_apply(params, cfg, inputs_embeds=embeds, kv_cache=cache,
+                          cache_index=jnp.int32(0), dtype=jnp.float32,
+                          flash=False)
+    # Logical mask over max_len: hide position 2 of every row.
+    mask = np.ones((B, T), np.int32)
+    mask[:, 2] = 0
+    step = jnp.asarray(rng.normal(size=(B, 1, cfg.n_embd)), jnp.float32)
+    outs = {}
+    for fl in (False, True):
+        outs[fl], _ = gpt2_apply(
+            params, cfg, inputs_embeds=step, kv_cache=cache,
+            cache_index=jnp.int32(P), dtype=jnp.float32,
+            attention_mask=jnp.asarray(mask), flash=fl,
+        )
+    np.testing.assert_allclose(np.asarray(outs[True]), np.asarray(outs[False]),
+                               atol=1e-5, rtol=1e-4)
+    # And the mask matters: unmasked differs.
+    ref, _ = gpt2_apply(params, cfg, inputs_embeds=step, kv_cache=cache,
+                        cache_index=jnp.int32(P), dtype=jnp.float32, flash=False)
+    assert np.abs(np.asarray(ref) - np.asarray(outs[False])).max() > 1e-6
