@@ -46,6 +46,10 @@ def prepare_model(args: Namespace):
             "files, or pass --allow-fallback-tokenizer to proceed anyway "
             "(smoke tests only)."
         )
+    if getattr(args, "int8_weights", False):
+        from clipcap_tpu.ops.quant import quantize_gpt2_int8
+
+        model.params["lm"] = quantize_gpt2_int8(model.params["lm"])
     encode_method, sample_processor = get_encoder_from_model(model, device=args.device)
     return model, tokenizer, encode_method, sample_processor
 

@@ -49,4 +49,10 @@ def add_inference_args(parser: ArgumentParser) -> ArgumentParser:
                            help="Inference settings: desired sentence length.")
     inference.add_argument("--seed", type=int, default=0,
                            help="Sampling RNG seed (decoding is deterministic given a seed).")
+    inference.add_argument(
+        "--int8-weights", action="store_true",
+        help="Serve the language model with int8 per-channel weight "
+             "residency (ops/quant) — halves the per-step HBM weight "
+             "stream. Off by default: logits move on the order of bf16 "
+             "rounding, so parity runs should leave this unset.")
     return parser

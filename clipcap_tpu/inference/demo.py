@@ -26,6 +26,10 @@ def inference_demo(args: Namespace) -> int:
         args.model_path, args.config_path,
         device=args.device, from_checkpoint=args.is_checkpoint,
     )
+    if getattr(args, "int8_weights", False):
+        from clipcap_tpu.ops.quant import quantize_gpt2_int8
+
+        model.params["lm"] = quantize_gpt2_int8(model.params["lm"])
 
     text_prefix_tokens = None
     if args.text_prefix is not None:
