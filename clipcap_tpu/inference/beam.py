@@ -48,6 +48,11 @@ class BeamParams:
     temperature: float = 1.0
     stop_token: int = 50256       # EOS (base.py:66)
     pad_token: int = 0
+    # Serve with an int8 KV cache (per-slot absmax scales): halves the
+    # decode-attention cache stream, which is byte-rate bound
+    # (docs/performance.md).  Off by default — logits move by int8
+    # rounding, so parity runs leave this unset.
+    int8_kv: bool = False
 
 
 class BeamResult(NamedTuple):
@@ -77,7 +82,8 @@ def beam_search_batched(
     # compute once, but it leaves every row with its own valid prefix K/V so
     # the ancestry table can start as "own row" everywhere.
     pe = jnp.repeat(prefix_embeds.astype(dtype), K, axis=0)  # [B, P, D]
-    cache = init_kv_cache(cfg, B, total, dtype=dtype, beam_size=K)
+    cache = init_kv_cache(cfg, B, total, dtype=dtype, beam_size=K,
+                          int8=bp.int8_kv)
     logits0, cache = gpt2_apply(
         params, cfg, inputs_embeds=pe, kv_cache=cache,
         cache_index=jnp.int32(0), dtype=dtype, precision=precision,

@@ -47,6 +47,9 @@ class SamplingParams:
     include_stop_token: bool = False  # nucleus appends the stop token; no_beam doesn't
     mode: str = "sample"              # "greedy" | "sample" | "nucleus"
     pad_token: int = 0
+    # int8 KV cache serving (see BeamParams.int8_kv): halves the decode-
+    # attention cache stream; off by default for parity.
+    int8_kv: bool = False
 
 
 class DecodeResult(NamedTuple):
@@ -118,7 +121,7 @@ def decode(
     N = sp.max_new_tokens
     total = P + N
 
-    cache = init_kv_cache(cfg, B, total, dtype=dtype)
+    cache = init_kv_cache(cfg, B, total, dtype=dtype, int8=sp.int8_kv)
 
     # Prefill the whole prefix in one pass.
     logits, cache = gpt2_apply(

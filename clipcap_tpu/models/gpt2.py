@@ -133,14 +133,16 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-# Cache slot counts are padded to this quantum so the flash-decode kernel's
-# u-tiles (ops/flash_decode._U_TILE) always divide the buffer.  Slots past
-# the logical capacity are never written and always causally masked.
-CACHE_SLOT_QUANTUM = 128
+# Cache slot counts are padded to this quantum — the TPU sublane tile of
+# the (slots, 128-lane) trailing dims — so the flash-decode kernel can
+# always pick a tile-aligned u-tile that divides the buffer
+# (ops/flash_decode._pick_u_tile).  Slots past the logical capacity are
+# never written and always causally masked.
+CACHE_SLOT_QUANTUM = 16
 
 
 def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
-                  beam_size: Optional[int] = None):
+                  beam_size: Optional[int] = None, int8: bool = False):
     """Preallocated fixed-shape KV cache, K and V **interleaved**.
 
     One buffer per layer, ``[batch, n_head, slots, 2*head_dim]`` — K in
@@ -176,13 +178,44 @@ def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
     ``CACHE_SLOT_QUANTUM`` so the kernel's u-tiles divide the buffer; the
     padding is never written and the causal masks hide it.
     """
+    # int8 rows pack (32, 128) tiles — round their slots to the u-tile
+    # maximum so the kernel's 128-slot tiles stay packing-aligned.
+    quantum = 128 if int8 else CACHE_SLOT_QUANTUM
     if beam_size is not None:
-        slots = _round_up(beam_size * max_len, CACHE_SLOT_QUANTUM)
+        slots = _round_up(beam_size * max_len, quantum)
         shape = (batch // beam_size, cfg.n_head, slots, 2 * cfg.head_dim)
     else:
-        slots = _round_up(max_len, CACHE_SLOT_QUANTUM)
+        slots = _round_up(max_len, quantum)
         shape = (batch, cfg.n_head, slots, 2 * cfg.head_dim)
+    if int8:
+        # Quantized cache: int8 K|V rows + per-(slot, head) fp32 absmax
+        # scales for the K and V halves.  Decode attention is byte-rate
+        # bound on the cache stream (docs/performance.md), so int8 halves
+        # the dominant per-row cost.  The scales fold OUT of the MXU
+        # operands algebraically: k-scales multiply the logits column
+        # after the q·k dot, v-scales multiply the softmax weights before
+        # the w·v dot — the dots run on scale-free tensors.
+        return tuple(
+            (jnp.zeros(shape, dtype=jnp.int8),
+             jnp.zeros(shape[:3], dtype=jnp.float32),
+             jnp.zeros(shape[:3], dtype=jnp.float32))
+            for _ in range(cfg.n_layer)
+        )
     return tuple(jnp.zeros(shape, dtype=dtype) for _ in range(cfg.n_layer))
+
+
+def _quantize_kv(new_kv: Array, Dh: int):
+    """[..., slots, 2*Dh] bf16/f32 → (int8 rows, k-scales, v-scales) with
+    per-(slot, head) symmetric absmax scales for each half."""
+    kh, vh = new_kv[..., :Dh], new_kv[..., Dh:]
+    kf, vf = kh.astype(jnp.float32), vh.astype(jnp.float32)
+    sk = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1), 1e-8) / 127.0
+    sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1), 1e-8) / 127.0
+    q = jnp.concatenate(
+        [jnp.clip(jnp.round(kf / sk[..., None]), -127, 127),
+         jnp.clip(jnp.round(vf / sv[..., None]), -127, 127)], axis=-1
+    ).astype(jnp.int8)
+    return q, sk, sv
 
 
 # ---------------------------------------------------------------------------
@@ -267,13 +300,24 @@ def _cached_block(
     qkv = linear(h, layer["attn"]["c_attn"]["w"], layer["attn"]["c_attn"]["b"], precision)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
+    int8kv = isinstance(ckv, tuple)
+    if int8kv:
+        ckv, csk, csv = ckv
+
     if beam_size is None:
         T = ckv.shape[2]
         q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)  # [B,H,S,Dh]
         k = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
-        new_kv = jnp.concatenate([k, v], axis=-1).astype(ckv.dtype)
-        ckv = jax.lax.dynamic_update_slice(ckv, new_kv, (0, 0, cache_index, 0))
+        new_kv = jnp.concatenate([k, v], axis=-1)
+        if int8kv:
+            q8, sk, sv = _quantize_kv(new_kv, Dh)
+            ckv = jax.lax.dynamic_update_slice(ckv, q8, (0, 0, cache_index, 0))
+            csk = jax.lax.dynamic_update_slice(csk, sk, (0, 0, cache_index))
+            csv = jax.lax.dynamic_update_slice(csv, sv, (0, 0, cache_index))
+        else:
+            ckv = jax.lax.dynamic_update_slice(
+                ckv, new_kv.astype(ckv.dtype), (0, 0, cache_index, 0))
 
         if S > 1:
             # Prefill: block-local causal attention (cache never read).
@@ -289,11 +333,17 @@ def _cached_block(
 
             mask = (bias[:, 0] if bias is not None
                     else jnp.zeros((1, 1, T), jnp.float32))  # [Bm, 1, T]
-            attn = flash_decode(q, ckv, mask,
-                                u_valid=cache_index + 1)     # [B,H,1,Dh]
+            attn = flash_decode(q, ckv, mask, u_valid=cache_index + 1,
+                                scales=(csk, csv) if int8kv else None)
         else:
-            kx = ckv[..., :Dh].astype(x.dtype)
-            vx = ckv[..., Dh:].astype(x.dtype)
+            if int8kv:
+                kx = (ckv[..., :Dh].astype(jnp.float32)
+                      * csk[..., None]).astype(x.dtype)
+                vx = (ckv[..., Dh:].astype(jnp.float32)
+                      * csv[..., None]).astype(x.dtype)
+            else:
+                kx = ckv[..., :Dh].astype(x.dtype)
+                vx = ckv[..., Dh:].astype(x.dtype)
             logits = jnp.einsum("bhsd,bhtd->bhst", q, kx,
                                 precision=precision) * scale
             logits = logits.astype(jnp.float32)
@@ -310,13 +360,19 @@ def _cached_block(
         qg = q.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
         kg = k.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
         vg = v.reshape(R, K, S, H, Dh).transpose(0, 3, 1, 2, 4)
-        new_kv = jnp.concatenate([kg, vg], axis=-1).astype(ckv.dtype)  # [R,H,K,S,2Dh]
+        new_kv = jnp.concatenate([kg, vg], axis=-1)                    # [R,H,K,S,2Dh]
         # Time-major slots (t*K + kb): positions [cache_index, cache_index+S)
         # for all K rows are one contiguous slot range — ONE in-place update.
         new_flat = new_kv.transpose(0, 1, 3, 2, 4).reshape(R, H, S * K, 2 * Dh)
-        ckv = jax.lax.dynamic_update_slice(
-            ckv, new_flat, (0, 0, cache_index * K, 0)
-        )
+        if int8kv:
+            q8, sk, sv = _quantize_kv(new_flat, Dh)
+            ckv = jax.lax.dynamic_update_slice(ckv, q8, (0, 0, cache_index * K, 0))
+            csk = jax.lax.dynamic_update_slice(csk, sk, (0, 0, cache_index * K))
+            csv = jax.lax.dynamic_update_slice(csv, sv, (0, 0, cache_index * K))
+        else:
+            ckv = jax.lax.dynamic_update_slice(
+                ckv, new_flat.astype(ckv.dtype), (0, 0, cache_index * K, 0)
+            )
 
         if ancestry is None:
             # Prefill: block-local causal attention (batch dims r,h,k).
@@ -336,10 +392,17 @@ def _cached_block(
                 from clipcap_tpu.ops.flash_decode import flash_decode
 
                 attn = flash_decode(q1, ckv, ancestry,
-                                    u_valid=(cache_index + 1) * K)  # [R,H,K,Dh]
+                                    u_valid=(cache_index + 1) * K,
+                                    scales=(csk, csv) if int8kv else None)
             else:
-                ku = ckv[..., :Dh].astype(x.dtype)        # [R,H,U,Dh]
-                vu = ckv[..., Dh:].astype(x.dtype)
+                if int8kv:
+                    ku = (ckv[..., :Dh].astype(jnp.float32)
+                          * csk[..., None]).astype(x.dtype)  # [R,H,U,Dh]
+                    vu = (ckv[..., Dh:].astype(jnp.float32)
+                          * csv[..., None]).astype(x.dtype)
+                else:
+                    ku = ckv[..., :Dh].astype(x.dtype)       # [R,H,U,Dh]
+                    vu = ckv[..., Dh:].astype(x.dtype)
                 la = jnp.einsum("rhkd,rhud->rhku", q1, ku,
                                 precision=precision).astype(jnp.float32) * scale
                 la = la + ancestry[:, None]               # ancestry: [R,K,U] mask
@@ -350,7 +413,8 @@ def _cached_block(
     attn_out = linear(attn_out, layer["attn"]["c_proj"]["w"],
                       layer["attn"]["c_proj"]["b"], precision)
     x = x + attn_out
-    return _mlp(x, layer, cfg, precision), ckv
+    new_cache = (ckv, csk, csv) if int8kv else ckv
+    return _mlp(x, layer, cfg, precision), new_cache
 
 
 def _block(
@@ -441,7 +505,9 @@ def gpt2_apply(
     if kv_cache is not None:
         # Interleaved cache [.., slots, 2*Dh]; slots are padded to the
         # flash u-tile quantum (init_kv_cache) — padding is causally masked.
-        slots = kv_cache[0].shape[2]
+        # int8 caches are (rows, k-scales, v-scales) tuples per layer.
+        _buf0 = kv_cache[0][0] if isinstance(kv_cache[0], tuple) else kv_cache[0]
+        slots = _buf0.shape[2]
         offset = cache_index
         # Beam mode: the causal bias is only consulted block-locally during
         # prefill (decode uses the ancestry mask), so S columns suffice.
@@ -470,11 +536,16 @@ def gpt2_apply(
 
             flash = (
                 S == 1
-                and dtype == jnp.bfloat16
-                and kv_cache[0].dtype == dtype
-                and precision is None
                 and jax.default_backend() == "tpu"
-                and os.environ.get("CLIPCAP_DISABLE_FLASH") != "1"
+                and (
+                    os.environ.get("CLIPCAP_FORCE_FLASH") == "1"
+                    or (
+                        dtype == jnp.bfloat16
+                        and _buf0.dtype in (dtype, jnp.int8)
+                        and precision is None
+                        and os.environ.get("CLIPCAP_DISABLE_FLASH") != "1"
+                    )
+                )
             )
         beam_mask = None
         if ancestry is not None:

@@ -52,9 +52,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# Cache slots per u-tile (kept at the 128 lane/tile quantum: tight dynamic
-# bounds, well-shaped DMAs).  Overridable for on-hardware tuning.
+# Upper bound on cache slots per u-tile (the actual tile is the largest
+# sublane-aligned divisor of the buffer ≤ this — ``_pick_u_tile``): small
+# enough for tight dynamic bounds, big enough for well-shaped DMAs.
+# Overridable for on-hardware tuning.
 _U_TILE = int(_os.environ.get("CLIPCAP_FLASH_U_TILE", 128))
+_SUBLANE = 16  # sublane tile of the (slots, lanes) trailing dims
+
+
+def _pick_u_tile(U: int) -> int:
+    """Largest sublane-aligned divisor of ``U`` that is ≤ ``_U_TILE``;
+    falls back to ``U`` itself (single tile) for unaligned tiny buffers."""
+    best = 0
+    for t in range(_SUBLANE, min(_U_TILE, U) + 1, _SUBLANE):
+        if U % t == 0:
+            best = t
+    return best if best else U
 # Target VMEM residency per kv tile (double-buffered by the pipeline).
 _BLOCK_BYTES_TARGET = float(_os.environ.get("CLIPCAP_FLASH_BLOCK_MB", 2.5)) * 2 ** 20
 
@@ -70,13 +83,18 @@ def _row_block(R: int, H: int, u_tile: int, Dh: int, itemsize: int) -> int:
     return g
 
 
-def _kernel(q_ref, kv_ref, mask_ref, out_ref, m_ref, l_ref, acc_ref, *,
-            scale: float, Dh: int):
+def _kernel(q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
+            int8: bool = False):
     """One (row-block, u-tile) grid step.
 
     q_ref:    [G, H, K, 2*Dh] (query zero-padded over the V half)
-    kv_ref:   [G, H, UT, 2*Dh] interleaved cache tile
-    mask_ref: [Gm, K, UT] fp32 additive
+    kv_ref:   [G, H, UT, 2*Dh] interleaved cache tile (bf16/f32, or int8
+              rows when ``int8`` — then ``rest`` leads with the per-slot
+              k/v scale tiles ``sk_ref, sv_ref: [G, 1, H, UT]`` f32)
+    mask_ref: [Gm, 1, K, UT] fp32 additive (tile-major host layout — the
+              leading 1 selects this u-tile; Mosaic requires the last two
+              block dims be tile-divisible or span the array, which the
+              tile-major reshape satisfies for any sublane-aligned UT)
     out_ref:  [G, H, K, Dh] — written on the last u-tile
     scratch:  m/l [G, H, K] f32 running max / denominator,
               acc [G, H, K, 2*Dh] f32 running value accumulator.
@@ -90,10 +108,20 @@ def _kernel(q_ref, kv_ref, mask_ref, out_ref, m_ref, l_ref, acc_ref, *,
       lanes, natural layout).
     * values: ``w · kv`` — columns [Dh:] are exactly ``w · v``; the K-half
       columns are discarded at the final output write.
+
+    int8 mode keeps the dots scale-free: the widened int values are exact
+    in bf16 (|q| ≤ 127), the k-scales multiply the logits COLUMNS after
+    the q·k dot, and the v-scales fold into the softmax weights before the
+    w·v dot.
     """
+    if int8:
+        sk_ref, sv_ref, out_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        out_ref, m_ref, l_ref, acc_ref = rest
     u = pl.program_id(1)
     n_u = pl.num_programs(1)
     G, H, K, _ = q_ref.shape
+    mask_tile = mask_ref[:, 0]                           # [Gm, K, UT]
 
     @pl.when(u == 0)
     def _init():
@@ -106,13 +134,18 @@ def _kernel(q_ref, kv_ref, mask_ref, out_ref, m_ref, l_ref, acc_ref, *,
     # dims) and Mosaic's matmul supports at most ONE batch dim.
     q = q_ref[:].reshape(G * H, K, 2 * Dh)
     kv = kv_ref[:].reshape(G * H, UT, 2 * Dh)
+    if int8:
+        kv = kv.astype(q_ref.dtype)
 
     # [G*H, K, UT] fp32: batch dim (gh), contract the full 128 lanes.
     logits = jax.lax.dot_general(
         q, kv, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale
-    logits = logits.reshape(G, H, K, UT) + mask_ref[:][:, None]  # mask: [G,K,UT]
+    logits = logits.reshape(G, H, K, UT)
+    if int8:
+        logits = logits * sk_ref[:, 0][:, :, None, :]    # sk: [G,H,UT]
+    logits = logits + mask_tile[:, None]
 
     # Online softmax (flash recurrence), fp32.  Masks use the finite
     # NEG_INF (-1e9), so max(logits) is always finite; the -inf init makes
@@ -124,6 +157,8 @@ def _kernel(q_ref, kv_ref, mask_ref, out_ref, m_ref, l_ref, acc_ref, *,
     l_ref[:] = l_ref[:] * alpha + jnp.sum(w, axis=-1)
     m_ref[:] = m_new
 
+    if int8:
+        w = w * sv_ref[:, 0][:, :, None, :]
     wv = jax.lax.dot_general(
         w.reshape(G * H, K, UT).astype(q_ref.dtype), kv,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -139,26 +174,41 @@ def _kernel(q_ref, kv_ref, mask_ref, out_ref, m_ref, l_ref, acc_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("u_tile", "interpret"))
 def _flash_call(q_pad: Array, kv: Array, mask: Array, n_u: Array,
-                u_tile: int, interpret: bool) -> Array:
+                u_tile: int, interpret: bool, scales=None) -> Array:
     R, H, K, Dh2 = q_pad.shape
     Dh = Dh2 // 2
     Rm = mask.shape[0]
     scale = 1.0 / np.sqrt(Dh)
     G = _row_block(R, H, u_tile, Dh, kv.dtype.itemsize)
+    int8 = scales is not None
+
+    n_tiles = kv.shape[2] // u_tile
+    in_specs = [
+        pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u: (r, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, H, u_tile, 2 * Dh), lambda r, u: (r, 0, u, 0),
+                     memory_space=pltpu.VMEM),
+        # Tile-major mask [Rm, n_tiles, K, UT]: the last two block dims
+        # span the array, satisfying Mosaic's tiling rule for any UT.
+        pl.BlockSpec((G if Rm > 1 else 1, 1, K, u_tile),
+                     (lambda r, u: (r, u, 0, 0)) if Rm > 1
+                     else (lambda r, u: (0, u, 0, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    mask4 = mask.reshape(Rm, K, n_tiles, u_tile).transpose(0, 2, 1, 3)
+    operands = [q_pad, kv, mask4]
+    if int8:
+        for s in scales:
+            in_specs.append(pl.BlockSpec((G, 1, H, u_tile),
+                                         lambda r, u: (r, u, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(
+                s.reshape(R, H, n_tiles, u_tile).transpose(0, 2, 1, 3))
 
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, Dh=Dh),
+        functools.partial(_kernel, scale=scale, Dh=Dh, int8=int8),
         grid=(R // G, n_u),
-        in_specs=[
-            pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u: (r, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H, u_tile, 2 * Dh), lambda r, u: (r, 0, u, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G if Rm > 1 else 1, K, u_tile),
-                         (lambda r, u: (r, 0, u)) if Rm > 1
-                         else (lambda r, u: (0, 0, u)),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((G, H, K, Dh), lambda r, u: (r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, H, K, Dh), q_pad.dtype),
@@ -168,25 +218,30 @@ def _flash_call(q_pad: Array, kv: Array, mask: Array, n_u: Array,
             pltpu.VMEM((G, H, K, 2 * Dh), jnp.float32),
         ],
         interpret=interpret,
-    )(q_pad, kv, mask)
+    )(*operands)
 
 
 def flash_decode(q: Array, kv: Array, mask: Array,
                  u_valid: Array | int | None = None,
-                 interpret: bool | None = None) -> Array:
+                 interpret: bool | None = None,
+                 scales=None) -> Array:
     """One decode step of masked attention over an interleaved KV cache.
 
     q:    [R, H, K, Dh]   — this step's queries (K beams per group; K=1 for
                             plain batched sampling).
     kv:   [R, H, U, 2*Dh] — interleaved cache, K in ``[..., :Dh]``,
                             V in ``[..., Dh:]``.  Beam caches are
-                            time-major: slot ``t*K + kb``.
+                            time-major: slot ``t*K + kb``.  May be int8
+                            rows (see ``scales``).
     mask: [Rm, K, U] fp32 additive (0 = visible, -inf/NEG_INF = hidden),
           Rm ∈ {1, R} (1 broadcasts across rows — the plain causal case).
     u_valid: slots written so far (traced scalar OK) — the kernel contracts
           only ``ceil(u_valid / U_TILE)`` tiles.  Slots of the last partial
           tile beyond ``u_valid`` MUST be masked by ``mask`` (the causal /
           ancestry masks guarantee this).  ``None`` → the full buffer.
+    scales: for an int8 ``kv``: ``(sk, sv)`` per-(slot, head) fp32 absmax
+          scales, each ``[R, H, U]`` (``models/gpt2.py::_quantize_kv``).
+          Halves the cache stream — decode attention is byte-rate bound.
     → [R, H, K, Dh] in q's dtype.
     """
     R, H, K, Dh = q.shape
@@ -194,21 +249,16 @@ def flash_decode(q: Array, kv: Array, mask: Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    if U % _U_TILE == 0:
-        u_tile = _U_TILE
-        if u_valid is None:
-            n_u = jnp.int32(U // u_tile)
-        else:
-            n_u = jnp.clip(pl.cdiv(jnp.asarray(u_valid, jnp.int32), u_tile),
-                           1, U // u_tile)
+    u_tile = _pick_u_tile(U)
+    if u_valid is None or u_tile == U:
+        n_u = jnp.int32(U // u_tile)
     else:
-        # Tiny / legacy shapes: one tile spanning the whole buffer.  The
-        # dynamic bound degenerates but correctness is unchanged.
-        u_tile, n_u = U, jnp.int32(1)
+        n_u = jnp.clip(pl.cdiv(jnp.asarray(u_valid, jnp.int32), u_tile),
+                       1, U // u_tile)
 
     # Zero-pad q over the V half so the kernel can use the interleaved
     # cache tile unsliced (see _kernel docstring).  q is tiny.
     q_pad = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
     Rm = mask.shape[0]
     mask = mask if Rm > 1 else jnp.broadcast_to(mask, (1, K, U))
-    return _flash_call(q_pad, kv, mask, n_u, u_tile, interpret)
+    return _flash_call(q_pad, kv, mask, n_u, u_tile, interpret, scales=scales)

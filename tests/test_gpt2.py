@@ -278,7 +278,7 @@ def test_cached_decode_attention_mask_pads_to_slots(tiny_jax):
     B, P, T = 2, 5, 12
     embeds = jnp.asarray(rng.normal(size=(B, P, cfg.n_embd)), jnp.float32)
     cache = init_kv_cache(cfg, B, max_len=T, dtype=jnp.float32)
-    assert cache[0].shape[2] == 128  # quantum-padded slots
+    assert cache[0].shape[2] == 16  # quantum-padded slots (T=12 -> 16)
 
     _, cache = gpt2_apply(params, cfg, inputs_embeds=embeds, kv_cache=cache,
                           cache_index=jnp.int32(0), dtype=jnp.float32,
@@ -300,3 +300,51 @@ def test_cached_decode_attention_mask_pads_to_slots(tiny_jax):
     ref, _ = gpt2_apply(params, cfg, inputs_embeds=step, kv_cache=cache,
                         cache_index=jnp.int32(P), dtype=jnp.float32, flash=False)
     assert np.abs(np.asarray(ref) - np.asarray(outs[False])).max() > 1e-6
+
+
+def test_int8_kv_cache_bounded_drift(tiny_jax):
+    """int8 KV cache (per-slot absmax scales): plain and beam decode must
+    track the bf16/f32-cache path within int8 rounding, on both the flash
+    (interpret) and XLA fallback paths."""
+    import jax.numpy as jnp
+
+    params, cfg = tiny_jax
+    rng = np.random.default_rng(31)
+    B, P, T = 3, 5, 9
+
+    def run(int8, flash):
+        embeds = jnp.asarray(rng2.normal(size=(B, P, cfg.n_embd)), jnp.float32)
+        cache = init_kv_cache(cfg, B, max_len=T, dtype=jnp.float32, int8=int8)
+        _, cache = gpt2_apply(params, cfg, inputs_embeds=embeds,
+                              kv_cache=cache, cache_index=jnp.int32(0),
+                              dtype=jnp.float32, flash=False)
+        out, _ = gpt2_apply(params, cfg, inputs_embeds=step, kv_cache=cache,
+                            cache_index=jnp.int32(P), dtype=jnp.float32,
+                            flash=flash)
+        return np.asarray(out)
+
+    rng2 = np.random.default_rng(31)
+    step = jnp.asarray(rng.normal(size=(B, 1, cfg.n_embd)), jnp.float32)
+    ref = run(False, False)
+    for flash in (False, True):
+        rng2 = np.random.default_rng(31)
+        got = run(True, flash)
+        err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+        assert err < 0.03, (flash, err)
+
+    # Beam path: int8 cache through beam_search_batched produces near-
+    # identical beams to the fp32 cache on a tiny model.
+    from clipcap_tpu.inference.beam import BeamParams, beam_search_batched
+
+    prefix = jnp.asarray(rng.normal(size=(2, 4, cfg.n_embd)) * 0.1, jnp.float32)
+    res_fp = beam_search_batched(params, cfg, prefix,
+                                 BeamParams(beam_size=3, max_new_tokens=8,
+                                            stop_token=0),
+                                 dtype=jnp.float32)
+    res_q = beam_search_batched(params, cfg, prefix,
+                                BeamParams(beam_size=3, max_new_tokens=8,
+                                           stop_token=0, int8_kv=True),
+                                dtype=jnp.float32)
+    assert np.array_equal(np.asarray(res_fp.tokens), np.asarray(res_q.tokens))
+    np.testing.assert_allclose(np.asarray(res_q.scores),
+                               np.asarray(res_fp.scores), atol=2e-3)
