@@ -26,11 +26,14 @@ The fix is a cache layout + a dynamically bounded kernel:
   ``dynamic_update_slice`` instead of K).
 * The kernel runs a 2-D grid ``(row_blocks, u_tiles)`` where the number of
   u-tiles is a **traced scalar** — Mosaic's dynamic-grid support turns it
-  into a runtime loop bound.  Each decode step contracts only
-  ``ceil(u_valid / U_TILE)`` tiles, where ``u_valid`` is the number of
-  slots written so far: early steps stream a fraction of the cache instead
-  of all of it.  Tiles combine with the standard flash online-softmax
-  recurrence carried in VMEM scratch.
+  into a runtime loop bound.  The u-tile is the largest sublane-aligned
+  divisor of the buffer ≤ 128 slots (``_pick_u_tile``), and each decode
+  step contracts only ``ceil(u_valid / u_tile)`` tiles, where ``u_valid``
+  is the number of slots written so far: early steps stream a fraction of
+  the cache instead of all of it.  Tiles combine with the standard flash
+  online-softmax recurrence carried in VMEM scratch.  An int8 cache form
+  (``scales``) halves cache memory; its measured speed verdict is in the
+  ``flash_decode`` docstring.
 
 Semantics match the XLA decode path in ``models/gpt2.py::_cached_block``:
 fp32 logits + additive mask (the beam ancestry/causal mask), fp32 softmax
@@ -68,6 +71,8 @@ def _pick_u_tile(U: int) -> int:
         if U % t == 0:
             best = t
     return best if best else U
+
+
 # Target VMEM residency per kv tile (double-buffered by the pipeline).
 _BLOCK_BYTES_TARGET = float(_os.environ.get("CLIPCAP_FLASH_BLOCK_MB", 2.5)) * 2 ** 20
 
@@ -241,7 +246,10 @@ def flash_decode(q: Array, kv: Array, mask: Array,
           ancestry masks guarantee this).  ``None`` → the full buffer.
     scales: for an int8 ``kv``: ``(sk, sv)`` per-(slot, head) fp32 absmax
           scales, each ``[R, H, U]`` (``models/gpt2.py::_quantize_kv``).
-          Halves the cache stream — decode attention is byte-rate bound.
+          Halves the cache MEMORY; measured slightly slower than bf16 on
+          v5e (the in-kernel widening outweighs the DMA saving — the
+          kernel is pipeline-bound, not byte-bound), so it is an opt-in
+          for memory-constrained serving, not a throughput knob.
     → [R, H, K, Dh] in q's dtype.
     """
     R, H, K, Dh = q.shape
