@@ -348,3 +348,39 @@ def test_int8_kv_cache_bounded_drift(tiny_jax):
     assert np.array_equal(np.asarray(res_fp.tokens), np.asarray(res_q.tokens))
     np.testing.assert_allclose(np.asarray(res_q.scores),
                                np.asarray(res_fp.scores), atol=2e-3)
+
+
+def test_flash_decode_u_valid_contract():
+    """Direct kernel contract: with a causal mask covering the invalid
+    tail, bounding the dynamic grid to u_valid slots must give the same
+    output as contracting the full buffer — for every u_valid, including
+    ones that land mid-tile."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.models.gpt2 import NEG_INF
+    from clipcap_tpu.ops.flash_decode import flash_decode
+
+    rng = np.random.default_rng(3)
+    R, H, K, Dh, U = 2, 3, 5, 16, 64  # u_tile resolves to 64 (single) ... use 160
+    U = 160                            # -> u_tile 80, 2 tiles
+    q = jnp.asarray(rng.normal(size=(R, H, K, Dh)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(R, H, U, 2 * Dh)), jnp.float32)
+
+    for u_valid in (1, 40, 80, 81, 159, 160):
+        # mask: slots >= u_valid invisible, plus a random sprinkle inside
+        # the valid region (slot 0 always stays visible — real decode
+        # queries always see at least one slot).
+        vis = np.zeros((R, K, U), np.float32)
+        vis[:, :, u_valid:] = NEG_INF
+        if u_valid > 1:
+            drop = rng.integers(1, u_valid, size=(R, K, max(1, u_valid // 4)))
+            for r in range(R):
+                for k in range(K):
+                    vis[r, k, drop[r, k]] = NEG_INF
+        mask = jnp.asarray(vis)
+        full = flash_decode(q, kv, mask)                      # all tiles
+        bounded = flash_decode(q, kv, mask, u_valid=jnp.int32(u_valid))
+        np.testing.assert_allclose(np.asarray(bounded), np.asarray(full),
+                                   atol=1e-6, rtol=1e-5,
+                                   err_msg=f"u_valid={u_valid}")
