@@ -88,6 +88,7 @@ def generate_predictions(args: Namespace) -> dict:
         repetition_penalty=1.0, sentence_length_factor=0.0,
         stop_token=tokenizer.encode(".")[0], include_stop_token=True,
         mode="nucleus",
+        int8_kv=getattr(args, "int8_kv_cache", False),
     )
 
     gen_dtype = jnp.bfloat16 if getattr(args, "fp_precision", 32) == 16 else jnp.float32

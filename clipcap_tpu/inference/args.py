@@ -55,4 +55,10 @@ def add_inference_args(parser: ArgumentParser) -> ArgumentParser:
              "residency (ops/quant) — halves the per-step HBM weight "
              "stream. Off by default: logits move on the order of bf16 "
              "rounding, so parity runs should leave this unset.")
+    inference.add_argument(
+        "--int8-kv-cache", action="store_true",
+        help="Serve with an int8 KV cache (per-slot absmax scales) — "
+             "halves the decode cache's HBM footprint (measured slightly "
+             "slower than bf16 on v5e; a memory knob, not a throughput "
+             "knob). Off by default for parity.")
     return parser

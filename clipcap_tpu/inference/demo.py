@@ -51,6 +51,7 @@ def inference_demo(args: Namespace) -> int:
         top_k=args.top_k,
         temperature=args.temperature,
         seed=args.seed,
+        int8_kv=getattr(args, "int8_kv_cache", False),
     )
 
     similarities = encode_method.similarity(sample, captions)

@@ -68,6 +68,7 @@ def generate_no_beam(
     desired_sentence_length: int = 50,
     sentence_length_factor: float = 1.0,
     seed: int = 0,
+    int8_kv: bool = False,
     dtype=jnp.float32,
     precision=None,
 ) -> List[str]:
@@ -90,6 +91,7 @@ def generate_no_beam(
         desired_sentence_length=desired_sentence_length,
         sentence_length_factor=sentence_length_factor,
         stop_token=stop_token, include_stop_token=False, mode="sample",
+        int8_kv=int8_kv,
     )
     result = decode(model.params["lm"], model.lm_config, tiled,
                     jax.random.PRNGKey(seed), sp, prefix_tokens=ptoks,
@@ -108,6 +110,7 @@ def generate_nucleus_sampling(
     top_k: int = 0,
     temperature: float = 1.0,
     seed: int = 0,
+    int8_kv: bool = False,
     dtype=jnp.float32,
     precision=None,
 ) -> List[str]:
@@ -125,6 +128,7 @@ def generate_nucleus_sampling(
         top_k=int(top_k) if top_k else 0, top_p=float(top_p) if top_p else 1.0,
         repetition_penalty=1.0, sentence_length_factor=0.0,
         stop_token=stop_token, include_stop_token=True, mode="nucleus",
+        int8_kv=int8_kv,
     )
     result = decode(model.params["lm"], model.lm_config, tiled,
                     jax.random.PRNGKey(seed), sp, dtype=dtype, precision=precision)
@@ -140,6 +144,7 @@ def generate_beam(
     beam_size: int = 5,
     entry_length: int = 67,
     temperature: float = 1.0,
+    int8_kv: bool = False,
     dtype=jnp.float32,
     precision=None,
 ) -> List[str]:
@@ -148,7 +153,8 @@ def generate_beam(
     assert embeds.shape[0] == 1
 
     bp = BeamParams(beam_size=beam_size, max_new_tokens=entry_length,
-                    temperature=temperature, stop_token=stop_token)
+                    temperature=temperature, stop_token=stop_token,
+                    int8_kv=int8_kv)
     result: BeamResult = beam_search(model.params["lm"], model.lm_config,
                                      embeds, bp, dtype=dtype, precision=precision)
     toks = np.asarray(result.tokens)
@@ -169,6 +175,7 @@ def generate(
     text_prefix: Optional[str] = None,
     stop_token: Optional[str] = None,
     seed: int = 0,
+    int8_kv: bool = False,
     dtype=jnp.float32,
     precision=None,
 ) -> List[str]:
@@ -192,5 +199,5 @@ def generate(
         number_to_generate=number_to_generate,
         text_prefix_tokens=text_prefix_tokens,
         top_p=top_p, top_k=top_k, temperature=temperature,
-        seed=seed, dtype=dtype, precision=precision,
+        seed=seed, int8_kv=int8_kv, dtype=dtype, precision=precision,
     )
