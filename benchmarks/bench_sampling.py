@@ -1,0 +1,38 @@
+"""Nucleus-sampling (eval-path) throughput with the dynamic flash kernel."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+from clipcap_tpu.inference.engine import SamplingParams, decode
+from clipcap_tpu.models.gpt2 import get_gpt2_config, init_gpt2
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+cfg = get_gpt2_config("gpt2")
+params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), init_gpt2(cfg, 0))
+rng = np.random.default_rng(0)
+prefix = jnp.asarray(rng.normal(size=(B, 10, cfg.n_embd)) * 0.02, jnp.bfloat16)
+sp = SamplingParams(max_new_tokens=67, top_p=0.95, stop_token=50256)
+
+t0 = time.perf_counter()
+res = decode(params, cfg, prefix, jax.random.PRNGKey(0), sp, dtype=jnp.bfloat16)
+print(f"compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+float(jnp.sum(res.tokens[:, :1]))
+
+for trial in range(3):
+    t0 = time.perf_counter()
+    res = decode(params, cfg, prefix + trial * 1e-3, jax.random.PRNGKey(trial), sp,
+                 dtype=jnp.bfloat16)
+    float(jnp.sum(res.tokens[:, :1]))
+    dt = time.perf_counter() - t0
+    print(f"B={B} trial {trial}: {B/dt:.1f} captions/s", flush=True)
