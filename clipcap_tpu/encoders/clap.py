@@ -15,8 +15,6 @@ device (clipcap_tpu.models.htsat).
 from __future__ import annotations
 
 import io
-import warnings
-from functools import partial
 from typing import Callable, Optional, Tuple, Union
 
 import jax

@@ -20,7 +20,7 @@ TPU-native deviations (documented):
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Union
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

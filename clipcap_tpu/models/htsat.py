@@ -22,7 +22,7 @@ the 10 s training window (documented divergence).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,6 @@ import numpy as np
 
 from clipcap_tpu.ops.audio import (
     CLAP_CLIP_SAMPLES,
-    CLAP_SAMPLE_RATE,
     log_mel_spectrogram,
 )
 from clipcap_tpu.ops.layers import layer_norm, linear
