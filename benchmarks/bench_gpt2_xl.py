@@ -1,4 +1,7 @@
-"""gpt2-xl beam-5 throughput: R (batch) and int8 weight residency."""
+"""GPT-2-family beam-5 throughput: R (batch), weight/cache residency modes.
+
+Usage: bench_gpt2_xl.py [R] [trials] [int8|fp32|int8kv] [model]
+"""
 import sys
 import time
 
@@ -23,7 +26,8 @@ INT8 = len(sys.argv) > 3 and sys.argv[3] == "int8"
 FP32 = len(sys.argv) > 3 and sys.argv[3] == "fp32"
 INT8KV = len(sys.argv) > 3 and sys.argv[3] == "int8kv"
 
-cfg = get_gpt2_config("gpt2-xl")
+MODEL = sys.argv[4] if len(sys.argv) > 4 else "gpt2-xl"
+cfg = get_gpt2_config(MODEL)
 params = init_gpt2(cfg, seed=0)
 DT = jnp.float32 if FP32 else jnp.bfloat16
 params = jax.tree_util.tree_map(lambda p: jnp.asarray(p, DT), params)
@@ -46,6 +50,6 @@ for trial in range(TRIALS):
     res = beam_search_batched(params, cfg, prefix + trial * 1e-3, bp, dtype=DT)
     float(jnp.sum(res.tokens[..., :1]))
     dt = time.perf_counter() - t0
-    print(f"R={R}{' int8' if INT8 else (' fp32' if FP32 else (' int8kv' if INT8KV else ''))} trial {trial}: {dt*1000:.0f} ms -> {R/dt:.1f} captions/s", flush=True)
+    print(f"{MODEL} R={R}{' int8' if INT8 else (' fp32' if FP32 else (' int8kv' if INT8KV else ''))} trial {trial}: {dt*1000:.0f} ms -> {R/dt:.1f} captions/s", flush=True)
     best = min(best, dt)
-print(f"R={R}{' int8' if INT8 else (' fp32' if FP32 else (' int8kv' if INT8KV else ''))} best: {R/best:.1f} captions/s, {best/67*1000:.2f} ms/step", flush=True)
+print(f"{MODEL} R={R}{' int8' if INT8 else (' fp32' if FP32 else (' int8kv' if INT8KV else ''))} best: {R/best:.1f} captions/s, {best/67*1000:.2f} ms/step", flush=True)
