@@ -31,10 +31,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from clipcap_tpu.parallel.distributed import maybe_initialize  # noqa: E402
 
 
-def main(out_path: str) -> None:
+def main(out_path: str, mode: str = "train", data_dir: str = "",
+         out_dir: str = "") -> None:
     assert maybe_initialize() is True
     pi, pc = jax.process_index(), jax.process_count()
     assert pc == int(os.environ["JAX_NUM_PROCESSES"])
+
+    if mode == "preprocess":
+        # Full preprocess stage with the multihost distributor: this
+        # process embeds + writes only its own partition stripe (reference
+        # analog: one pyspark task per partition, distributor.py:24-48).
+        from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
+
+        from clipcap_tpu.encoders.args import add_encoder_args
+        from clipcap_tpu.preprocess.args import add_preprocess_args
+        from clipcap_tpu.preprocess.preprocess import preprocess
+
+        parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+        parser = add_preprocess_args(parser)
+        parser = add_encoder_args(parser)
+        rc = preprocess(parser.parse_args([
+            "--input-dataset", data_dir, "--output-folder", out_dir,
+            "--input-format", "files", "--batch-size", "3", "--workers", "1",
+            "--output-partition-count", "5",
+            "--distribution-strategy", "multihost",
+            "--encoder-model-name", "clip",
+            "--encoder-model-variant", "test-tiny",
+        ]))
+        with open(out_path, "w") as f:
+            json.dump({"process": pi, "rc": rc}, f)
+        return
 
     # --- MultiHostDistributor: partition ids striped by process index ----
     from clipcap_tpu.preprocess.distributor import get_distributor
@@ -93,4 +119,4 @@ def main(out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(*sys.argv[1:])

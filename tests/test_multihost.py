@@ -111,3 +111,58 @@ def test_matches_single_process_run(child_results):
         losses.append(float(metrics["loss"]))
 
     np.testing.assert_allclose(losses, child_results[0]["losses"], rtol=2e-5)
+
+
+def test_two_process_preprocess_end_to_end(tmp_path):
+    """The full preprocess stage across TWO processes with the multihost
+    distributor (the reference's pyspark scale-out): partitions stripe by
+    process index, outputs are disjoint and complete, and every sample is
+    embedded exactly once."""
+    import pandas as pd
+
+    from test_pipeline import _make_files_dataset
+
+    data = _make_files_dataset(tmp_path / "raw", n=13)
+    out_dir = tmp_path / "dataset"
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(NPROC):
+        out = tmp_path / f"pre{pid}.json"
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES=str(NPROC),
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, CHILD, str(out), "preprocess", data, str(out_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+        outs.append(out)
+    logs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"child failed:\n{log}"
+    assert all(json.loads(o.read_text())["rc"] == 0 for o in outs)
+
+    # All 5 partitions written exactly once, 13 samples total, captions
+    # aligned with embeddings.
+    def ids(files, prefix, suffix):
+        return sorted(int(f.name[len(prefix):-len(suffix)]) for f in files)
+
+    emb_files = sorted((out_dir / "embeddings").glob("embeds_*.npy"),
+                       key=lambda f: f.name)
+    cap_files = sorted((out_dir / "captions").glob("captions_*.parquet"),
+                       key=lambda f: f.name)
+    assert ids(emb_files, "embeds_", ".npy") == list(range(5))
+    assert ids(cap_files, "captions_", ".parquet") == list(range(5))
+    total, caps = 0, []
+    for e, c in zip(emb_files, cap_files):
+        arr = np.load(e)
+        df = pd.read_parquet(c)
+        assert arr.shape[0] == len(df)
+        total += arr.shape[0]
+        caps.extend(df["caption"].tolist())
+    assert total == 13
+    assert sorted(caps) == sorted(f"a tiny test image number {i}" for i in range(13))
