@@ -7,7 +7,7 @@ captions/sec/chip on the transformer-mapper + GPT-2 config.
 Two configurations are measured (both through the public library surface):
 
 * headline — GPT-2 (small) at batch 128, the throughput-serving shape;
-* ``gpt2_xl`` — GPT-2-XL at batch 64, the reference's DEFAULT language
+* ``gpt2_xl`` — GPT-2-XL at batch 96, the reference's DEFAULT language
   model (/root/reference/clipcap/model/args.py ``--language-model``), i.e.
   the honest flagship config.  Skippable with CLIPCAP_BENCH_SKIP_XL=1
   (first compile of the xl program takes minutes; it is cached after).

@@ -36,7 +36,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from clipcap_tpu.models.gpt2 import GPT2Config, gpt2_apply, gpt2_embed_tokens, init_kv_cache
+from clipcap_tpu.models.gpt2 import (
+    GPT2Config,
+    consolidate_kv_cache,
+    gpt2_apply,
+    gpt2_embed_tokens,
+    init_kv_cache,
+    init_shared_kv,
+)
 
 Array = jax.Array
 
@@ -53,6 +60,14 @@ class BeamParams:
     # (docs/performance.md).  Off by default — logits move by int8
     # rounding, so parity runs leave this unset.
     int8_kv: bool = False
+    # Consolidate the converged beam prefix into a 1-slot-per-position
+    # shared cache every this many steps (0 disables).  Surviving beams
+    # share ancestors, so old positions collapse from K cache slots to 1 —
+    # decode attention is cache-stream bound, so the consolidated region
+    # costs ~1/K as much per step.  Results are identical up to fp
+    # summation order (the excluded duplicate slots contributed exactly 0
+    # through the NEG_INF mask).
+    consolidate_every: int = 8
 
 
 class BeamResult(NamedTuple):
@@ -108,7 +123,7 @@ def beam_search_batched(
         stopped = state[5]
         return jnp.logical_and(step < N, ~jnp.all(stopped))
 
-    def body(state):
+    def body(state, shared=None, c=None):
         step, tokens, scores, seq_lengths, cache, stopped, ancestry = state
 
         # Forward the tokens chosen at step-1 (cache position P + step - 1).
@@ -122,6 +137,7 @@ def beam_search_batched(
         step_logits, new_cache = gpt2_apply(
             params, cfg, inputs_embeds=emb, kv_cache=cache, cache_index=pos,
             dtype=dtype, precision=precision, beam_size=K, ancestry=ancestry,
+            shared_kv=shared, shared_len=c,
         )
         # Candidate-based ranking — exact, but never materializes the fp32
         # [B, V] log-softmax (the reference ranks avg = (scores+logp)/len
@@ -176,7 +192,57 @@ def beam_search_batched(
         return (step + 1, tokens, scores, seq_lengths, new_cache, stopped, ancestry)
 
     state = (jnp.int32(1), tokens, scores0, seq_lengths, cache, has_stopped, ancestry)
-    state = jax.lax.while_loop(cond, body, state)
+
+    C = bp.consolidate_every
+    if C > 0:
+        # Chunked decode with converged-prefix consolidation: between
+        # C-step inner loops, gather every position on which all K beams'
+        # ancestry agrees (prefix positions qualify by construction — the
+        # prefill wrote identical K/V to every row) into a shared
+        # 1-slot-per-position cache (models/gpt2.py::init_shared_kv).
+        # Inside the chunk the shared buffer and converged length c are
+        # loop-invariant, so the per-layer cache updates keep aliasing in
+        # place exactly as in the single-loop path.
+        shared = init_shared_kv(cfg, R, total, dtype=dtype, int8=bp.int8_kv)
+        _sb0 = shared[0][0] if isinstance(shared[0], tuple) else shared[0]
+        sc_slots = _sb0.shape[2]
+
+        def outer_cond(ostate):
+            st = ostate[0]
+            return jnp.logical_and(st[0] < N, ~jnp.all(st[5]))
+
+        def outer_body(ostate):
+            st, shared, c = ostate
+            step, _, _, _, cache, _, ancestry = st
+            anc3 = ancestry.reshape(R, K, total)
+            base = anc3[:, 0]                              # [R, total]
+            t_iota = jax.lax.broadcasted_iota(jnp.int32, (R, total), 1)
+            conv = jnp.all(anc3 == base[:, None, :], axis=1)
+            conv = jnp.logical_or(conv, t_iota < P)        # identical content
+            conv = jnp.logical_and(conv, t_iota < P + step - 1)  # written only
+            conv = jnp.concatenate(
+                [conv, jnp.zeros((R, 1), bool)], axis=1)   # all-True sentinel
+            # First non-converged position, min over the batch (the grid
+            # bound and mask are shared across sample groups).
+            c = jnp.maximum(c, jnp.min(jnp.argmin(conv, axis=1)).astype(jnp.int32))
+            rows = jnp.pad(base, ((0, 0), (0, sc_slots - total)))
+            shared = consolidate_kv_cache(cache, shared, rows, K)
+
+            entry = step
+
+            def inner_cond(s):
+                return jnp.logical_and(
+                    jnp.logical_and(s[0] < N, s[0] < entry + C),
+                    ~jnp.all(s[5]))
+
+            st = jax.lax.while_loop(
+                inner_cond, lambda s: body(s, shared, c), st)
+            return (st, shared, c)
+
+        state, _, _ = jax.lax.while_loop(
+            outer_cond, outer_body, (state, shared, jnp.int32(0)))
+    else:
+        state = jax.lax.while_loop(cond, body, state)
     _, tokens, scores, seq_lengths, _, _, _ = state
 
     final_scores = scores / seq_lengths  # base.py:121

@@ -204,6 +204,94 @@ def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
     return tuple(jnp.zeros(shape, dtype=dtype) for _ in range(cfg.n_layer))
 
 
+def init_shared_kv(cfg: GPT2Config, groups: int, max_len: int,
+                   dtype=jnp.bfloat16, int8: bool = False):
+    """Consolidated shared-prefix cache for beam decode: ONE slot per
+    position (slot ``t`` = position ``t``), vs the live beam cache's K.
+
+    Beam search's surviving beams converge to common ancestors: after a few
+    steps, all K beams' ancestry agrees on every old position, so those
+    positions need one K/V row, not K.  ``consolidate_kv_cache`` gathers
+    the converged prefix here; decode attention then streams ``c`` slots
+    for the old region instead of ``c*K`` — the dominant per-row decode
+    cost is the cache stream, so this is ~K× on the consolidated region
+    (docs/performance.md).  Prefix positions (identical content in every
+    beam row by construction of the prefill) are consolidatable from step
+    one.
+
+    Layout matches ``init_kv_cache``: ``[groups, n_head, slots, 2*head_dim]``
+    interleaved K|V, slots padded to the u-tile quantum.
+    """
+    quantum = 128 if int8 else CACHE_SLOT_QUANTUM
+    slots = _round_up(max_len, quantum)
+    shape = (groups, cfg.n_head, slots, 2 * cfg.head_dim)
+    if int8:
+        return tuple(
+            (jnp.zeros(shape, dtype=jnp.int8),
+             jnp.zeros(shape[:3], dtype=jnp.float32),
+             jnp.zeros(shape[:3], dtype=jnp.float32))
+            for _ in range(cfg.n_layer)
+        )
+    return tuple(jnp.zeros(shape, dtype=dtype) for _ in range(cfg.n_layer))
+
+
+def consolidate_kv_cache(kv_cache, shared_kv, rows: Array, beam_size: int):
+    """Gather the converged beam prefix into the shared cache.
+
+    ``rows``: [groups, Sc] int32 — for each sample group and position ``t``,
+    the live-cache beam row holding the (converged) K/V: time-major live
+    slot ``t*K + rows[r, t]``.  Positions beyond the converged length may
+    carry arbitrary valid row indices — their gathered values are masked
+    off by the shared-region mask until a later consolidation covers them.
+
+    Rewrites the full shared buffer (idempotent for already-consolidated
+    positions); the amortized cost is one shared-buffer-sized gather per
+    consolidation interval.
+    """
+    K = beam_size
+    R, Sc = rows.shape
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Sc), 1)
+    idx = t_iota * K + jnp.clip(rows, 0, K - 1)          # [R, Sc] live slots
+
+    # Gather as a one-hot MXU matmul: an XLA gather over the wide cache rows
+    # lowers to the scalar core (measured ~0.8 s per consolidation on v5e —
+    # dwarfing the decode it saves), while the one-hot contraction runs at
+    # matmul rate (~1 ms).  Selection is exact in bf16: each output row sums
+    # exactly one product x*1.  The per-(slot, head) int8 scales ride the
+    # same contraction in fp32.
+    onehot_cache: dict = {}
+
+    def onehot(U, dt):
+        key = (U, dt)
+        if key not in onehot_cache:
+            # Clamp (padded shared positions can index past the live
+            # buffer; those slots are masked downstream).
+            ixc = jnp.minimum(idx, U - 1)
+            j_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Sc, U), 2)
+            onehot_cache[key] = (ixc[:, :, None] == j_iota).astype(dt)
+        return onehot_cache[key]
+
+    def gather_rows(live):
+        oh = onehot(live.shape[2], jnp.bfloat16 if live.dtype == jnp.int8
+                    else live.dtype)
+        out = jnp.einsum("rtj,rhjd->rhtd", oh, live.astype(oh.dtype),
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.astype(live.dtype)  # int8 values <= 127 are exact in bf16
+
+    def gather_scales(live):
+        return jnp.einsum("rtj,rhj->rht", onehot(live.shape[2], live.dtype),
+                          live, precision=jax.lax.Precision.HIGHEST)
+
+    out = []
+    for live, shared in zip(kv_cache, shared_kv):
+        if isinstance(live, tuple):                       # int8: rows + scales
+            out.append((gather_rows(live[0]),
+                        gather_scales(live[1]), gather_scales(live[2])))
+        else:
+            out.append(gather_rows(live))
+    return tuple(out)
+
+
 def _quantize_kv(new_kv: Array, Dh: int):
     """[..., slots, 2*Dh] bf16/f32 → (int8 rows, k-scales, v-scales) with
     per-(slot, head) symmetric absmax scales for each half."""
@@ -260,6 +348,9 @@ def _cached_block(
     beam_size: Optional[int] = None,
     ancestry: Optional[Array] = None,
     flash: bool = False,
+    shared=None,
+    shared_mask: Optional[Array] = None,
+    shared_len=None,
 ) -> Tuple[Array, Array]:
     """One block in cached (prefill/decode) mode.
 
@@ -386,26 +477,55 @@ def _cached_block(
             attn_out = attn.transpose(0, 2, 3, 1, 4).reshape(B, S, D)
         else:
             # Decode: flat-context masked attention over the K·T slots.
+            # With a consolidated shared prefix (``shared`` + ``shared_len``
+            # — see ``init_shared_kv``), attention is two-phase: the shared
+            # region (1 slot/position, all beams see all of it) and the
+            # live region starting at slot ``shared_len*K`` (the ancestry
+            # mask already excludes consolidated positions), combined into
+            # exactly one softmax by the online-softmax recurrence.
             assert S == 1
             q1 = qg[:, :, :, 0]                           # [R,H,K,Dh]
+            sh_int8 = isinstance(shared, tuple)
+            if sh_int8:
+                shared, ssk, ssv = shared
             if flash:
                 from clipcap_tpu.ops.flash_decode import flash_decode
 
+                carry = None
+                u_lo = None
+                if shared is not None:
+                    carry = flash_decode(
+                        q1, shared, shared_mask, u_valid=shared_len,
+                        scales=(ssk, ssv) if sh_int8 else None,
+                        return_carry=True)
+                    u_lo = shared_len * K
                 attn = flash_decode(q1, ckv, ancestry,
                                     u_valid=(cache_index + 1) * K,
-                                    scales=(csk, csv) if int8kv else None)
+                                    scales=(csk, csv) if int8kv else None,
+                                    u_lo=u_lo, carry=carry)
             else:
-                if int8kv:
-                    ku = (ckv[..., :Dh].astype(jnp.float32)
-                          * csk[..., None]).astype(x.dtype)  # [R,H,U,Dh]
-                    vu = (ckv[..., Dh:].astype(jnp.float32)
-                          * csv[..., None]).astype(x.dtype)
-                else:
-                    ku = ckv[..., :Dh].astype(x.dtype)       # [R,H,U,Dh]
-                    vu = ckv[..., Dh:].astype(x.dtype)
+                def deq(buf, sk, sv, is8):
+                    if is8:
+                        kx = (buf[..., :Dh].astype(jnp.float32)
+                              * sk[..., None]).astype(x.dtype)
+                        vx = (buf[..., Dh:].astype(jnp.float32)
+                              * sv[..., None]).astype(x.dtype)
+                        return kx, vx
+                    return buf[..., :Dh].astype(x.dtype), buf[..., Dh:].astype(x.dtype)
+
+                ku, vu = deq(ckv, csk if int8kv else None,
+                             csv if int8kv else None, int8kv)
                 la = jnp.einsum("rhkd,rhud->rhku", q1, ku,
                                 precision=precision).astype(jnp.float32) * scale
                 la = la + ancestry[:, None]               # ancestry: [R,K,U] mask
+                if shared is not None:
+                    ks, vs = deq(shared, ssk if sh_int8 else None,
+                                 ssv if sh_int8 else None, sh_int8)
+                    ls = jnp.einsum("rhkd,rhcd->rhkc", q1, ks,
+                                    precision=precision).astype(jnp.float32) * scale
+                    ls = ls + shared_mask[:, None]
+                    la = jnp.concatenate([ls, la], axis=-1)
+                    vu = jnp.concatenate([vs, vu], axis=2)
                 w = jax.nn.softmax(la, axis=-1).astype(x.dtype)
                 attn = jnp.einsum("rhku,rhud->rhkd", w, vu, precision=precision)
             attn_out = attn.transpose(0, 2, 1, 3).reshape(B, S, D)
@@ -471,6 +591,8 @@ def gpt2_apply(
     beam_size: Optional[int] = None,
     ancestry: Optional[Array] = None,
     flash: Optional[bool] = None,
+    shared_kv=None,
+    shared_len: Optional[Array] = None,
 ):
     """GPT-2 forward.
 
@@ -487,7 +609,11 @@ def gpt2_apply(
     * **Beam decode** (``beam_size`` K + ``ancestry`` [B, max_len] given,
       S=1 only): rows are grouped K-per-sample; ``ancestry[b, t] ∈ [0, K)``
       names the group row holding beam b's K/V for position t.  This is the
-      lazy (gather-free) beam reorder — see ``_cached_block``.
+      lazy (gather-free) beam reorder — see ``_cached_block``.  With
+      ``shared_kv`` (per-layer consolidated buffers from ``init_shared_kv``)
+      + ``shared_len`` c (traced), positions ``t < c`` are served from the
+      shared buffer (1 slot per position) and excluded from the live
+      ancestry mask; attention is the two-phase online-softmax merge.
 
     ``flash``: use the Pallas flash-decode kernel for cached single-token
     attention (``ops/flash_decode`` — one pass over the interleaved cache).
@@ -509,6 +635,24 @@ def gpt2_apply(
         _buf0 = kv_cache[0][0] if isinstance(kv_cache[0], tuple) else kv_cache[0]
         slots = _buf0.shape[2]
         offset = cache_index
+        if S > 1:
+            # Cached prefill attends block-locally (the zero-filled cache is
+            # never read), which is only correct for a FULL-context prefill.
+            # A chunked second prefill at cache_index > 0 would silently
+            # drop the earlier context — reject it when the index is
+            # concrete (traced indices can't be checked at trace time; the
+            # engine and beam search always prefill at 0).
+            try:
+                ci_concrete = int(cache_index)
+            except (TypeError, jax.errors.TracerIntegerConversionError,
+                    jax.errors.ConcretizationTypeError):
+                ci_concrete = None
+            if ci_concrete is not None and ci_concrete != 0:
+                raise ValueError(
+                    "cached prefill (S > 1) requires cache_index == 0: "
+                    "prefill attention is block-local and ignores earlier "
+                    f"cache contents (got cache_index={ci_concrete})"
+                )
         # Beam mode: the causal bias is only consulted block-locally during
         # prefill (decode uses the ancestry mask), so S columns suffice.
         T = S if beam_size is not None else slots
@@ -548,6 +692,7 @@ def gpt2_apply(
                 )
             )
         beam_mask = None
+        shared_mask = None
         if ancestry is not None:
             # Build the flat-context beam selection mask ONCE per step (all
             # layers share it): [R, K, slots] fp32, 0 where time-major slot
@@ -563,6 +708,18 @@ def gpt2_apply(
                               constant_values=-1)      # never matches a row
             s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, slots), 2)
             visible = jnp.logical_and(anc == s_iota % K, s_iota // K <= offset)
+            if shared_kv is not None:
+                # Consolidated positions are served from the shared buffer;
+                # exclude them here so the two phases partition the context.
+                visible = jnp.logical_and(visible, s_iota // K >= shared_len)
+                _sbuf0 = (shared_kv[0][0] if isinstance(shared_kv[0], tuple)
+                          else shared_kv[0])
+                sc_slots = _sbuf0.shape[2]
+                c_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, sc_slots), 2)
+                shared_mask = jnp.where(c_iota < shared_len, 0.0,
+                                        NEG_INF).astype(jnp.float32)
+                shared_mask = jnp.broadcast_to(shared_mask, (1, K, sc_slots))
             beam_mask = jnp.where(visible, 0.0, NEG_INF).astype(jnp.float32)
 
         # Unrolled layer loop with per-layer cache buffers: each layer's
@@ -578,6 +735,8 @@ def gpt2_apply(
                 None if beam_mask is not None else bias,
                 cfg, precision, beam_size=beam_size, ancestry=beam_mask,
                 flash=bool(flash),
+                shared=None if shared_kv is None else shared_kv[l],
+                shared_mask=shared_mask, shared_len=shared_len,
             )
             new_cache.append(ckv)
         x = h

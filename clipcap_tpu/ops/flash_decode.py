@@ -88,10 +88,14 @@ def _row_block(R: int, H: int, u_tile: int, Dh: int, itemsize: int) -> int:
     return g
 
 
-def _kernel(q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
-            int8: bool = False):
+def _kernel(lo_ref, q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
+            int8: bool = False, carry_in: bool = False,
+            carry_out: bool = False):
     """One (row-block, u-tile) grid step.
 
+    lo_ref:   [1] int32 scalar-prefetch — first u-tile of the valid range
+              (grid step ``u`` reads physical tile ``u + lo_ref[0]``; the
+              index maps apply the offset, the kernel body never sees it)
     q_ref:    [G, H, K, 2*Dh] (query zero-padded over the V half)
     kv_ref:   [G, H, UT, 2*Dh] interleaved cache tile (bf16/f32, or int8
               rows when ``int8`` — then ``rest`` leads with the per-slot
@@ -100,9 +104,17 @@ def _kernel(q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
               leading 1 selects this u-tile; Mosaic requires the last two
               block dims be tile-divisible or span the array, which the
               tile-major reshape satisfies for any sublane-aligned UT)
-    out_ref:  [G, H, K, Dh] — written on the last u-tile
-    scratch:  m/l [G, H, K] f32 running max / denominator,
-              acc [G, H, K, 2*Dh] f32 running value accumulator.
+    Then, in order: with ``carry_in``, init partials ``m0, l0, acc0``
+    ([G,H,K], [G,H,K], [G,H,K,2*Dh] f32) from an earlier phase; the
+    outputs — either ``out [G,H,K,Dh]`` (written on the last u-tile) or,
+    with ``carry_out``, the running partials ``m, l, acc`` themselves;
+    finally scratch ``m/l [G,H,K]`` f32 and ``acc [G,H,K,2*Dh]`` f32.
+
+    ``carry_in``/``carry_out`` exist for two-phase attention over a cache
+    split into a consolidated shared-prefix region and a live beam region
+    (``models/gpt2.py``): phase A emits its online-softmax partials, phase
+    B resumes from them — the flash recurrence makes the two passes
+    exactly one softmax.
 
     The interleaved tile is used UNSLICED in both dots — an in-kernel
     ``[..., :Dh]`` lane-slice forces Mosaic to repack the whole block into
@@ -120,7 +132,11 @@ def _kernel(q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
     w·v dot.
     """
     if int8:
-        sk_ref, sv_ref, out_ref, m_ref, l_ref, acc_ref = rest
+        sk_ref, sv_ref, *rest = rest
+    if carry_in:
+        m0_ref, l0_ref, acc0_ref, *rest = rest
+    if carry_out:
+        mo_ref, lo_out_ref, acco_ref, m_ref, l_ref, acc_ref = rest
     else:
         out_ref, m_ref, l_ref, acc_ref = rest
     u = pl.program_id(1)
@@ -130,9 +146,14 @@ def _kernel(q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
 
     @pl.when(u == 0)
     def _init():
-        m_ref[:] = jnp.full(m_ref.shape, -jnp.inf, m_ref.dtype)
-        l_ref[:] = jnp.zeros(l_ref.shape, l_ref.dtype)
-        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+        if carry_in:
+            m_ref[:] = m0_ref[:]
+            l_ref[:] = l0_ref[:]
+            acc_ref[:] = acc0_ref[:]
+        else:
+            m_ref[:] = jnp.full(m_ref.shape, -jnp.inf, m_ref.dtype)
+            l_ref[:] = jnp.zeros(l_ref.shape, l_ref.dtype)
+            acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
     UT = kv_ref.shape[2]
     # Merge the leading (G, H) dims: layout-free (tiling is on the last two
@@ -173,13 +194,21 @@ def _kernel(q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
 
     @pl.when(u == n_u - 1)
     def _finish():
-        denom = jnp.maximum(l_ref[:], 1e-30)[..., None]
-        out_ref[:] = (acc_ref[:] / denom)[..., Dh:].astype(out_ref.dtype)
+        if carry_out:
+            mo_ref[:] = m_ref[:]
+            lo_out_ref[:] = l_ref[:]
+            acco_ref[:] = acc_ref[:]
+        else:
+            denom = jnp.maximum(l_ref[:], 1e-30)[..., None]
+            out_ref[:] = (acc_ref[:] / denom)[..., Dh:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("u_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("u_tile", "interpret",
+                                             "carry_out"))
 def _flash_call(q_pad: Array, kv: Array, mask: Array, n_u: Array,
-                u_tile: int, interpret: bool, scales=None) -> Array:
+                u_tile: int, interpret: bool, scales=None,
+                lo: Array | None = None, carry=None,
+                carry_out: bool = False):
     R, H, K, Dh2 = q_pad.shape
     Dh = Dh2 // 2
     Rm = mask.shape[0]
@@ -188,16 +217,21 @@ def _flash_call(q_pad: Array, kv: Array, mask: Array, n_u: Array,
     int8 = scales is not None
 
     n_tiles = kv.shape[2] // u_tile
+    # Scalar-prefetch tile offset: grid step u reads physical tile
+    # u + lo (index maps receive the prefetched ref as a trailing arg).
+    lo_arr = (jnp.zeros((1,), jnp.int32) if lo is None
+              else jnp.asarray(lo, jnp.int32).reshape(1))
     in_specs = [
-        pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u: (r, 0, 0, 0),
+        pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u, lo_r: (r, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, H, u_tile, 2 * Dh), lambda r, u: (r, 0, u, 0),
+        pl.BlockSpec((G, H, u_tile, 2 * Dh),
+                     lambda r, u, lo_r: (r, 0, u + lo_r[0], 0),
                      memory_space=pltpu.VMEM),
         # Tile-major mask [Rm, n_tiles, K, UT]: the last two block dims
         # span the array, satisfying Mosaic's tiling rule for any UT.
         pl.BlockSpec((G if Rm > 1 else 1, 1, K, u_tile),
-                     (lambda r, u: (r, u, 0, 0)) if Rm > 1
-                     else (lambda r, u: (0, u, 0, 0)),
+                     (lambda r, u, lo_r: (r, u + lo_r[0], 0, 0)) if Rm > 1
+                     else (lambda r, u, lo_r: (0, u + lo_r[0], 0, 0)),
                      memory_space=pltpu.VMEM),
     ]
     mask4 = mask.reshape(Rm, K, n_tiles, u_tile).transpose(0, 2, 1, 3)
@@ -205,31 +239,68 @@ def _flash_call(q_pad: Array, kv: Array, mask: Array, n_u: Array,
     if int8:
         for s in scales:
             in_specs.append(pl.BlockSpec((G, 1, H, u_tile),
-                                         lambda r, u: (r, u, 0, 0),
+                                         lambda r, u, lo_r: (r, u + lo_r[0], 0, 0),
                                          memory_space=pltpu.VMEM))
             operands.append(
                 s.reshape(R, H, n_tiles, u_tile).transpose(0, 2, 1, 3))
+    if carry is not None:
+        part_specs = [
+            pl.BlockSpec((G, H, K), lambda r, u, lo_r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, K), lambda r, u, lo_r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u, lo_r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        in_specs.extend(part_specs)
+        operands.extend(carry)
 
-    return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, Dh=Dh, int8=int8),
+    if carry_out:
+        out_specs = [
+            pl.BlockSpec((G, H, K), lambda r, u, lo_r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, K), lambda r, u, lo_r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u, lo_r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((R, H, K), jnp.float32),
+            jax.ShapeDtypeStruct((R, H, K), jnp.float32),
+            jax.ShapeDtypeStruct((R, H, K, 2 * Dh), jnp.float32),
+        ]
+    else:
+        out_specs = pl.BlockSpec((G, H, K, Dh), lambda r, u, lo_r: (r, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((R, H, K, Dh), q_pad.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(R // G, n_u),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((G, H, K, Dh), lambda r, u: (r, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, H, K, Dh), q_pad.dtype),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((G, H, K), jnp.float32),
             pltpu.VMEM((G, H, K), jnp.float32),
             pltpu.VMEM((G, H, K, 2 * Dh), jnp.float32),
         ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale, Dh=Dh, int8=int8,
+                          carry_in=carry is not None, carry_out=carry_out),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         interpret=interpret,
-    )(*operands)
+    )(lo_arr, *operands)
 
 
 def flash_decode(q: Array, kv: Array, mask: Array,
                  u_valid: Array | int | None = None,
                  interpret: bool | None = None,
-                 scales=None) -> Array:
+                 scales=None,
+                 u_lo: Array | int | None = None,
+                 carry=None,
+                 return_carry: bool = False):
     """One decode step of masked attention over an interleaved KV cache.
 
     q:    [R, H, K, Dh]   — this step's queries (K beams per group; K=1 for
@@ -250,7 +321,18 @@ def flash_decode(q: Array, kv: Array, mask: Array,
           v5e (the in-kernel widening outweighs the DMA saving — the
           kernel is pipeline-bound, not byte-bound), so it is an opt-in
           for memory-constrained serving, not a throughput knob.
-    → [R, H, K, Dh] in q's dtype.
+    u_lo: first valid slot (traced scalar OK) — the contraction starts at
+          tile ``u_lo // U_TILE``.  Slots of that tile BELOW ``u_lo`` must
+          be masked by ``mask`` (the consolidated-region exclusion in the
+          beam mask guarantees this).  Used by two-phase consolidated-beam
+          attention to skip the region already served by the shared prefix
+          (``models/gpt2.py``).
+    carry: ``(m, l, acc)`` online-softmax partials from an earlier phase
+          ([R,H,K], [R,H,K], [R,H,K,2*Dh] f32) — this call's recurrence
+          resumes from them instead of (-inf, 0, 0).
+    return_carry: return the partials ``(m, l, acc)`` instead of the
+          normalized output, for a later phase to consume via ``carry``.
+    → [R, H, K, Dh] in q's dtype, or the ``(m, l, acc)`` partials.
     """
     R, H, K, Dh = q.shape
     U = kv.shape[2]
@@ -258,15 +340,21 @@ def flash_decode(q: Array, kv: Array, mask: Array,
         interpret = jax.default_backend() != "tpu"
 
     u_tile = _pick_u_tile(U)
-    if u_valid is None or u_tile == U:
-        n_u = jnp.int32(U // u_tile)
+    if u_valid is None:
+        hi = jnp.int32(U // u_tile)
     else:
-        n_u = jnp.clip(pl.cdiv(jnp.asarray(u_valid, jnp.int32), u_tile),
-                       1, U // u_tile)
+        hi = jnp.clip(pl.cdiv(jnp.asarray(u_valid, jnp.int32), u_tile),
+                      1, U // u_tile)
+    if u_lo is None:
+        lo, n_u = None, hi
+    else:
+        lo = jnp.clip(jnp.asarray(u_lo, jnp.int32) // u_tile, 0, hi - 1)
+        n_u = hi - lo
 
     # Zero-pad q over the V half so the kernel can use the interleaved
     # cache tile unsliced (see _kernel docstring).  q is tiny.
     q_pad = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
     Rm = mask.shape[0]
     mask = mask if Rm > 1 else jnp.broadcast_to(mask, (1, K, U))
-    return _flash_call(q_pad, kv, mask, n_u, u_tile, interpret, scales=scales)
+    return _flash_call(q_pad, kv, mask, n_u, u_tile, interpret, scales=scales,
+                       lo=lo, carry=carry, carry_out=return_carry)

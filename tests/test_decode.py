@@ -307,3 +307,33 @@ def test_top_p_one_keeps_full_vocab():
     # Flat distribution over 300 ids: 128 draws collide with a tiny window;
     # spread beyond any window size demonstrates full-vocab reach.
     assert len(toks) > 90, len(toks)
+
+
+def test_beam_consolidation_parity():
+    """Converged-prefix consolidation must not change beam results: every
+    cadence (including every-step) reproduces the unconsolidated search
+    token-for-token on a tiny model, fp32."""
+    import dataclasses
+
+    from clipcap_tpu.inference.beam import BeamParams, beam_search_batched
+    from clipcap_tpu.models.gpt2 import GPT2Config, init_gpt2
+
+    cfg = GPT2Config(vocab_size=211, n_positions=64, n_embd=32, n_layer=2,
+                     n_head=4, name="t")
+    params = init_gpt2(cfg)
+    rng = np.random.default_rng(3)
+    pre = jnp.asarray(rng.normal(size=(3, 6, 32)), jnp.float32)
+
+    base = BeamParams(beam_size=3, max_new_tokens=12, stop_token=5,
+                      consolidate_every=0)
+    ref = beam_search_batched(params, cfg, pre, base, dtype=jnp.float32)
+    for C in (1, 2, 5, 16):
+        bp = dataclasses.replace(base, consolidate_every=C)
+        got = beam_search_batched(params, cfg, pre, bp, dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got.tokens),
+                                      np.asarray(ref.tokens), err_msg=f"C={C}")
+        np.testing.assert_allclose(np.asarray(got.scores),
+                                   np.asarray(ref.scores), atol=1e-4,
+                                   err_msg=f"C={C}")
+        np.testing.assert_allclose(np.asarray(got.seq_lengths),
+                                   np.asarray(ref.seq_lengths), atol=1e-6)

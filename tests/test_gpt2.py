@@ -384,3 +384,102 @@ def test_flash_decode_u_valid_contract():
         np.testing.assert_allclose(np.asarray(bounded), np.asarray(full),
                                    atol=1e-6, rtol=1e-5,
                                    err_msg=f"u_valid={u_valid}")
+
+
+def test_flash_two_phase_carry_matches_single():
+    """The u_lo/carry/return_carry contract behind consolidated-beam
+    attention: phase A over a shared buffer + phase B over the live buffer
+    resuming from A's partials must equal ONE flash_decode over the union
+    context, at every split point (tile-aligned and mid-tile)."""
+    import jax.numpy as jnp
+
+    from clipcap_tpu.models.gpt2 import NEG_INF
+    from clipcap_tpu.ops.flash_decode import flash_decode
+
+    rng = np.random.default_rng(9)
+    R, H, K, Dh, U = 2, 3, 5, 16, 160  # u_tile 80, 2 tiles
+    q = jnp.asarray(rng.normal(size=(R, H, K, Dh)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(R, H, U, 2 * Dh)), jnp.float32)
+    # A second, independent buffer playing the consolidated shared prefix.
+    Sc = 80
+    shared = jnp.asarray(rng.normal(size=(R, H, Sc, 2 * Dh)), jnp.float32)
+
+    for c in (0, 1, 40, 79, 80):
+        for live_valid in (81, 160):
+            sh_mask = np.where(np.arange(Sc) < c, 0.0, NEG_INF)[None, None]
+            sh_mask = np.broadcast_to(sh_mask, (1, K, Sc)).astype(np.float32)
+            live_mask = np.where(np.arange(U) < live_valid, 0.0, NEG_INF)
+            live_mask = np.broadcast_to(live_mask[None, None], (1, K, U)).copy()
+            # phase B must not re-see the region phase A served
+            live_mask[:, :, : c // 2] = NEG_INF
+
+            carry = flash_decode(q, shared, jnp.asarray(sh_mask),
+                                 u_valid=jnp.int32(max(c, 1)),
+                                 return_carry=True)
+            two = flash_decode(q, kv, jnp.asarray(live_mask),
+                               u_valid=jnp.int32(live_valid),
+                               u_lo=jnp.int32(c // 2), carry=carry)
+
+            # Oracle: one call over the concatenated context.
+            cat_kv = jnp.concatenate([shared, kv], axis=2)
+            cat_mask = jnp.asarray(
+                np.concatenate([sh_mask, live_mask], axis=2))
+            one = flash_decode(q, cat_kv, cat_mask)
+            np.testing.assert_allclose(np.asarray(two), np.asarray(one),
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"c={c} lv={live_valid}")
+
+
+def test_consolidated_beam_gpt2_apply_flash_matches_xla():
+    """gpt2_apply with shared_kv/shared_len: the Pallas two-phase path must
+    reproduce the XLA concat fallback, fp32, including int8 shared+live."""
+    import jax.numpy as jnp
+
+    from clipcap_tpu.models.gpt2 import (
+        GPT2Config, consolidate_kv_cache, gpt2_apply, init_gpt2,
+        init_kv_cache, init_shared_kv)
+
+    cfg = GPT2Config(vocab_size=128, n_positions=64, n_embd=64, n_layer=2,
+                     n_head=4, name="t")
+    params = init_gpt2(cfg, seed=1)
+    rng = np.random.default_rng(13)
+    R, K, P, T = 2, 3, 4, 12
+    B = R * K
+
+    for int8 in (False, True):
+        pe = jnp.asarray(rng.normal(size=(B, P, cfg.n_embd)), jnp.float32)
+        cache = init_kv_cache(cfg, B, max_len=T, dtype=jnp.float32,
+                              beam_size=K, int8=int8)
+        _, cache = gpt2_apply(params, cfg, inputs_embeds=pe, kv_cache=cache,
+                              cache_index=jnp.int32(0), dtype=jnp.float32,
+                              beam_size=K, flash=False)
+        # Write a few decode positions so the live region is nontrivial.
+        anc = np.tile(np.arange(K, dtype=np.int32)[:, None], (R, T)).reshape(B, T)
+        for pos in range(P, P + 4):
+            step = jnp.asarray(rng.normal(size=(B, 1, cfg.n_embd)), jnp.float32)
+            _, cache = gpt2_apply(params, cfg, inputs_embeds=step,
+                                  kv_cache=cache, cache_index=jnp.int32(pos),
+                                  dtype=jnp.float32, beam_size=K,
+                                  ancestry=jnp.asarray(anc), flash=False)
+
+        shared = init_shared_kv(cfg, R, T, dtype=jnp.float32, int8=int8)
+        sb0 = shared[0][0] if int8 else shared[0]
+        rows = jnp.zeros((R, sb0.shape[2]), jnp.int32)  # converged on row 0
+        shared = consolidate_kv_cache(cache, shared, rows, K)
+        c = jnp.int32(P + 2)
+        # Ancestry consistent with consolidation: row 0 for t < c.
+        anc2 = anc.copy()
+        anc2[:, : P + 2] = 0
+        step = jnp.asarray(rng.normal(size=(B, 1, cfg.n_embd)), jnp.float32)
+
+        outs = {}
+        for flash in (False, True):
+            outs[flash], _ = gpt2_apply(
+                params, cfg, inputs_embeds=step, kv_cache=cache,
+                cache_index=jnp.int32(P + 4), dtype=jnp.float32, beam_size=K,
+                ancestry=jnp.asarray(anc2), flash=flash,
+                shared_kv=shared, shared_len=c)
+        np.testing.assert_allclose(np.asarray(outs[True]),
+                                   np.asarray(outs[False]),
+                                   atol=2e-5, rtol=1e-4,
+                                   err_msg=f"int8={int8}")
