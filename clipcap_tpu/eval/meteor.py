@@ -30,12 +30,22 @@ no JVM:
   best reference per segment by score, corpus score from summed sufficient
   statistics (the jar's ``EVAL`` aggregation).
 
-Known divergence from the jar (documented, not fixable offline): the jar
-ships a corpus-derived function-word list (``function/en.words`` inside the
-jar) and WordNet synonym data; this module uses a hand-curated
-closed-class function-word list and leaves the synonym stage off unless a
-table is passed.  Segment scores are exact for the algorithm as published;
-absolute agreement with the jar additionally requires those two resources.
+Resources (all of them the jar's own data, extracted from ``meteor-1.5.jar``
+by ``python -m clipcap_tpu.init`` — the jar is a zip archive):
+
+* ``function/en.words`` → the jar's corpus-derived function-word list
+  (``default_function_words_path``); without it a hand-curated closed-class
+  list is used (the only remaining divergence in that case).
+* ``synonym/english.synsets`` + ``synonym/english.exceptions`` → the jar's
+  WordNet-derived synonym data (``Synonyms.load``): two words match at the
+  synonym stage iff their synset-id sets intersect, where each word's ids
+  include those of its morphological base forms from the exceptions file.
+* ``data/paraphrase-en.gz`` → the paraphrase table (also shipped standalone
+  by coco-caption).
+
+Segment scores are exact for the algorithm as published; with all three
+resources present the known divergences vs the jar are closed (jar-bitwise
+validation still requires a JVM, which this environment does not have).
 """
 from __future__ import annotations
 
@@ -104,33 +114,164 @@ def load_paraphrase_table(path: str) -> Dict[str, Set[str]]:
     return table
 
 
-def default_paraphrase_path() -> Optional[str]:
-    """The paraphrase table fetched by ``python -m clipcap_tpu.init``
-    (or pointed at via $CLIPCAP_METEOR_PARAPHRASE)."""
-    env = os.environ.get("CLIPCAP_METEOR_PARAPHRASE")
+def _default_resource(env_var: str, cache_name: str) -> Optional[str]:
+    env = os.environ.get(env_var)
     if env and os.path.exists(env):
         return env
-    cached = os.path.expanduser("~/.cache/clipcap_tpu/meteor/paraphrase-en.gz")
+    cached = os.path.expanduser(f"~/.cache/clipcap_tpu/meteor/{cache_name}")
     if os.path.exists(cached):
         return cached
     return None
 
 
-def get_meteor(synonyms: Optional[Dict[str, Set[str]]] = None,
-               paraphrase_path: Optional[str] = None):
+def default_paraphrase_path() -> Optional[str]:
+    """The paraphrase table fetched by ``python -m clipcap_tpu.init``
+    (or pointed at via $CLIPCAP_METEOR_PARAPHRASE)."""
+    return _default_resource("CLIPCAP_METEOR_PARAPHRASE", "paraphrase-en.gz")
+
+
+def default_function_words_path() -> Optional[str]:
+    """The jar's ``function/en.words``, extracted by init
+    (or $CLIPCAP_METEOR_FUNCTION_WORDS)."""
+    return _default_resource("CLIPCAP_METEOR_FUNCTION_WORDS", "en.words")
+
+
+def default_synonym_paths() -> Optional[Tuple[str, Optional[str]]]:
+    """The jar's WordNet synonym resources, extracted by init:
+    (synsets path, exceptions path or None).  Overridable with
+    $CLIPCAP_METEOR_SYNONYMS (a synsets file; a sibling ``*.exceptions``
+    is picked up automatically)."""
+    syn = _default_resource("CLIPCAP_METEOR_SYNONYMS", "english.synsets")
+    if syn is None:
+        return None
+    exc = os.path.join(os.path.dirname(syn), "english.exceptions")
+    return syn, (exc if os.path.exists(exc) else None)
+
+
+def load_function_words(path: str) -> Set[str]:
+    """One word per line (``#`` comments and blanks skipped) — the format of
+    the jar's ``function/en.words`` resource."""
+    out: Set[str] = set()
+    with open(path, "rt", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            w = line.strip().lower()
+            if w and not w.startswith("#"):
+                out.add(w)
+    return out
+
+
+class Synonyms:
+    """The jar's synonym-stage relation: word → WordNet synset-id set; two
+    words are synonym-stage matches iff their id sets intersect.  The
+    morphological exceptions file maps irregular surface forms to base
+    forms whose synsets the surface form inherits (the jar's
+    SynonymDictionary does the same two-file lookup)."""
+
+    def __init__(self, word_ids: Dict[str, Set[int]]):
+        self.word_ids = word_ids
+
+    @classmethod
+    def load(cls, synsets_path: str,
+             exceptions_path: Optional[str] = None) -> "Synonyms":
+        """``english.synsets`` lines: ``word id id ...``;
+        ``english.exceptions`` lines: ``variant base base ...``."""
+        word_ids: Dict[str, Set[int]] = {}
+        with open(synsets_path, "rt", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                ids = set()
+                for p in parts[1:]:
+                    try:
+                        ids.add(int(p))
+                    except ValueError:
+                        pass
+                if ids:
+                    word_ids.setdefault(parts[0].lower(), set()).update(ids)
+        if exceptions_path:
+            with open(exceptions_path, "rt", encoding="utf-8",
+                      errors="replace") as f:
+                for line in f:
+                    parts = [p.lower() for p in line.split()]
+                    if len(parts) < 2:
+                        continue
+                    variant = parts[0]
+                    inherited = set()
+                    for base in parts[1:]:
+                        inherited |= word_ids.get(base, set())
+                    if inherited:
+                        word_ids.setdefault(variant, set()).update(inherited)
+        return cls(word_ids)
+
+    @classmethod
+    def load_flat(cls, path: str) -> "Synonyms":
+        """Canonical flat form (``word\\tid id ...``, exceptions already
+        folded) — the file ``get_meteor`` materializes for the C++ core."""
+        return cls.load(path)
+
+    def save_flat(self, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wt", encoding="utf-8") as f:
+            for w in sorted(self.word_ids):
+                ids = " ".join(str(i) for i in sorted(self.word_ids[w]))
+                f.write(f"{w} {ids}\n")
+        os.replace(tmp, path)
+
+    def are_synonyms(self, a: str, b: str) -> bool:
+        ia = self.word_ids.get(a)
+        if not ia:
+            return False
+        ib = self.word_ids.get(b)
+        return bool(ib) and not ia.isdisjoint(ib)
+
+
+def _flat_synonyms_path(synsets_path: str, exceptions_path: Optional[str]):
+    """Materialize (and cache) the folded flat synonym file next to the
+    synsets resource, for loaders that want one file (the C++ core)."""
+    flat = synsets_path + ".flat"
+    deps = [synsets_path] + ([exceptions_path] if exceptions_path else [])
+    if (not os.path.exists(flat)
+            or any(os.path.getmtime(d) > os.path.getmtime(flat) for d in deps)):
+        Synonyms.load(synsets_path, exceptions_path).save_flat(flat)
+    return flat
+
+
+def get_meteor(synonyms=None, paraphrase_path: Optional[str] = None,
+               synonym_paths: Optional[Tuple[str, Optional[str]]] = None,
+               function_words_path: Optional[str] = None):
     """Return the C++ METEOR core when built, else the Python scorer.
-    ``paraphrase_path`` defaults to the init-fetched table when present.
-    Synonym-table configurations use the Python scorer."""
+
+    Every resource defaults to the init-fetched file when present:
+    paraphrase table, WordNet synonym tables (synonym stage stays inert
+    without them), and the jar's ``function/en.words`` (hand-curated
+    fallback otherwise).  ``synonyms`` may be a prebuilt
+    ``Dict[str, Set[str]]``/``Synonyms`` — those configurations use the
+    Python scorer."""
     if paraphrase_path is None:
         paraphrase_path = default_paraphrase_path()
+    if function_words_path is None:
+        function_words_path = default_function_words_path()
+    if synonyms is None and synonym_paths is None:
+        synonym_paths = default_synonym_paths()
+    fwords = (load_function_words(function_words_path)
+              if function_words_path else None)
     if synonyms is None:
         try:
             from clipcap_tpu.native import meteor as native
 
-            return native.Meteor(paraphrase_path=paraphrase_path)
+            return native.Meteor(
+                paraphrase_path=paraphrase_path,
+                function_words_path=function_words_path,
+                synonyms_path=(_flat_synonyms_path(*synonym_paths)
+                               if synonym_paths else None),
+            )
         except Exception:
             pass
-    return Meteor(synonyms=synonyms, paraphrase_path=paraphrase_path)
+        if synonym_paths is not None:
+            synonyms = Synonyms.load(*synonym_paths)
+    return Meteor(synonyms=synonyms, paraphrase_path=paraphrase_path,
+                  function_words=fwords)
 
 
 @dataclass(frozen=True)
@@ -146,15 +287,20 @@ class Match:
 class Meteor:
     def __init__(
         self,
-        synonyms: Optional[Dict[str, Set[str]]] = None,
+        synonyms=None,
         paraphrase_path: Optional[str] = None,
         alpha: float = ALPHA,
         beta: float = BETA,
         gamma: float = GAMMA,
         delta: float = DELTA,
         stage_weights: Sequence[float] = STAGE_WEIGHTS,
+        function_words: Optional[Set[str]] = None,
     ):
+        # ``synonyms``: a Dict[word, Set[word]] (direct pairs) or a
+        # ``Synonyms`` synset table (the jar's relation).
         self.synonyms = synonyms or {}
+        self.function_words = (FUNCTION_WORDS if function_words is None
+                               else function_words)
         self.paraphrases = (
             load_paraphrase_table(paraphrase_path) if paraphrase_path else {}
         )
@@ -171,6 +317,14 @@ class Meteor:
     # Alignment
     # ------------------------------------------------------------------
 
+    def _syn_match(self, hw: str, rw: str) -> bool:
+        if not self.synonyms:
+            return False
+        if isinstance(self.synonyms, Synonyms):
+            return self.synonyms.are_synonyms(hw, rw)
+        return (rw in self.synonyms.get(hw, ())
+                or hw in self.synonyms.get(rw, ()))
+
     def _candidates(self, hyp: List[str], ref: List[str]) -> List[Match]:
         """All possible matches, every stage.  A word pair is attributed to
         its highest-priority (lowest-index) matching stage, like the jar."""
@@ -183,10 +337,7 @@ class Meteor:
                     cands.append(Match(i, 1, j, 1, 0))
                 elif h_stem[i] == r_stem[j]:
                     cands.append(Match(i, 1, j, 1, 1))
-                elif self.synonyms and (
-                    rw in self.synonyms.get(hw, ())
-                    or hw in self.synonyms.get(rw, ())
-                ):
+                elif self._syn_match(hw, rw):
                     cands.append(Match(i, 1, j, 1, 2))
         if self.paraphrases:
             cands.extend(self._paraphrase_candidates(hyp, ref))
@@ -267,7 +418,7 @@ class Meteor:
     # ------------------------------------------------------------------
 
     def _word_weight(self, w: str) -> float:
-        return (1.0 - self.delta) if w in FUNCTION_WORDS else self.delta
+        return (1.0 - self.delta) if w in self.function_words else self.delta
 
     def _segment_stats(self, hyp: List[str], ref: List[str]) -> dict:
         """Sufficient statistics for one (hyp, ref) pair."""

@@ -60,7 +60,58 @@ ASSETS = {
         "https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/data/paraphrase-en.gz",
         "~/.cache/clipcap_tpu/meteor/paraphrase-en.gz",
     ),
+    # The reference's meteor-1.5.jar itself (a zip archive): fetched for its
+    # embedded resources — `function/en.words` (the corpus-derived
+    # function-word list) and `synonym/english.*` (the WordNet synonym
+    # tables) — which upgrade the native METEOR's fallbacks to the jar's own
+    # data (extracted below by ``_extract_meteor_resources``).
+    "meteor-jar": (
+        "https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/meteor-1.5.jar",
+        "~/.cache/clipcap_tpu/meteor/meteor-1.5.jar",
+    ),
 }
+
+_METEOR_DIR = "~/.cache/clipcap_tpu/meteor"
+
+
+def _extract_meteor_resources(jar_path: str) -> bool:
+    """Pull METEOR's scoring resources out of meteor-1.5.jar (a zip):
+    ``function/en.words`` → en.words, ``synonym/english*`` → english.* —
+    the exact data the jar scores with
+    (/root/reference/clipcap/eval/pycocoevalcap/meteor/meteor.py:21-28
+    runs the jar; its English task loads these from its own classpath)."""
+    import zipfile
+
+    jar_path = os.path.expanduser(jar_path)
+    out_dir = os.path.expanduser(_METEOR_DIR)
+    if not os.path.exists(jar_path):
+        return False
+    extracted = []
+    try:
+        with zipfile.ZipFile(jar_path) as z:
+            for name in z.namelist():
+                base = os.path.basename(name)
+                if not base:
+                    continue
+                if (name.endswith("function/en.words")
+                        or "/en.words" in name or name == "en.words"):
+                    dest = os.path.join(out_dir, "en.words")
+                elif "synonym" in name and "english" in base:
+                    dest = os.path.join(out_dir, base)
+                else:
+                    continue
+                with z.open(name) as src, open(dest + ".tmp", "wb") as dst:
+                    dst.write(src.read())
+                os.replace(dest + ".tmp", dest)
+                extracted.append(os.path.basename(dest))
+    except Exception as e:
+        print(f"  meteor resource extraction failed: {e}")
+        return False
+    if extracted:
+        print(f"  extracted from jar: {', '.join(sorted(extracted))}")
+    else:
+        print("  no function/synonym resources found inside the jar")
+    return bool(extracted)
 
 
 def _fetch(url: str, dest: str) -> bool:
@@ -83,7 +134,10 @@ def init() -> int:
     got_any = False
     for name, (url, dest) in ASSETS.items():
         print(f"[{name}]")
-        got_any |= _fetch(url, dest)
+        got = _fetch(url, dest)
+        got_any |= got
+        if got and name == "meteor-jar":
+            _extract_meteor_resources(dest)
     if not got_any:
         print(
             "No assets could be fetched (offline?). The framework still runs "

@@ -36,7 +36,10 @@ def load(auto_build: bool = True) -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and auto_build:
+    if auto_build:
+        # make is incremental: a no-op when the .so is newer than the
+        # sources, a rebuild when they changed (a stale library would
+        # otherwise be loaded with mismatched symbol signatures).
         build()
     lib = ctypes.CDLL(_LIB_PATH)
 
@@ -44,7 +47,8 @@ def load(auto_build: bool = True) -> ctypes.CDLL:
     lib.ccn_ptb_tokenize.restype = ctypes.c_void_p
     lib.ccn_free.argtypes = [ctypes.c_void_p]
     lib.ccn_free.restype = None
-    lib.ccn_meteor_new.argtypes = [ctypes.c_char_p]
+    lib.ccn_meteor_new.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                   ctypes.c_char_p]
     lib.ccn_meteor_new.restype = ctypes.c_void_p
     lib.ccn_meteor_delete.argtypes = [ctypes.c_void_p]
     lib.ccn_meteor_delete.restype = None

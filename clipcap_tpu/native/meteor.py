@@ -1,10 +1,13 @@
 """ctypes front-end for the C++ METEOR core (drop-in for
-clipcap_tpu.eval.meteor.Meteor; exact + Snowball-stem + optional
-paraphrase-table configurations).
+clipcap_tpu.eval.meteor.Meteor; exact + Snowball-stem + synonym +
+paraphrase matcher stages, jar function-word list).
 
 The paraphrase table is the meteor ``paraphrase-en.gz`` the reference jar
 reads (fetched by ``python -m clipcap_tpu.init``); since the C++ core reads
 plain text, a ``.txt`` sidecar is decompressed next to the ``.gz`` once.
+The synonym table is the flat folded form materialized by
+``clipcap_tpu.eval.meteor._flat_synonyms_path`` from the jar's WordNet
+resources; the function-word list is the jar's ``function/en.words``.
 """
 from __future__ import annotations
 
@@ -35,17 +38,25 @@ def _plain_table_path(path: str) -> str:
 
 
 class Meteor:
-    def __init__(self, paraphrase_path: Optional[str] = None):
+    def __init__(self, paraphrase_path: Optional[str] = None,
+                 function_words_path: Optional[str] = None,
+                 synonyms_path: Optional[str] = None):
         self._lib = load()
         table = (
             _plain_table_path(paraphrase_path).encode()
             if paraphrase_path
             else None
         )
-        self._handle = self._lib.ccn_meteor_new(table)
+        self._handle = self._lib.ccn_meteor_new(
+            table,
+            function_words_path.encode() if function_words_path else None,
+            synonyms_path.encode() if synonyms_path else None,
+        )
         if not self._handle:
             raise RuntimeError(
-                f"native METEOR init failed (paraphrase table: {paraphrase_path})"
+                "native METEOR init failed (paraphrase table: "
+                f"{paraphrase_path}, function words: {function_words_path}, "
+                f"synonyms: {synonyms_path})"
             )
 
     def __del__(self):

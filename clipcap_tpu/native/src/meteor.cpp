@@ -131,8 +131,80 @@ struct ParaphraseTable {
     }
 };
 
+// Flat synonym table: "word id id ..." lines (word → WordNet synset-id
+// set, morphological exceptions already folded in by the Python side —
+// clipcap_tpu/eval/meteor.py::_flat_synonyms_path).  Two words match at
+// the synonym stage iff their id sets intersect.
+struct SynonymTable {
+    std::map<std::string, std::vector<long>> ids;  // sorted id vectors
+
+    bool load(const std::string& path) {
+        std::ifstream f(path);
+        if (!f) return false;
+        std::string line;
+        while (std::getline(f, line)) {
+            std::istringstream iss(line);
+            std::string w;
+            if (!(iss >> w)) continue;
+            std::vector<long> v;
+            long id;
+            while (iss >> id) v.push_back(id);
+            if (v.empty()) continue;
+            std::sort(v.begin(), v.end());
+            auto& dst = ids[w];
+            dst.insert(dst.end(), v.begin(), v.end());
+            std::sort(dst.begin(), dst.end());
+            dst.erase(std::unique(dst.begin(), dst.end()), dst.end());
+        }
+        return true;
+    }
+
+    bool match(const std::string& a, const std::string& b) const {
+        if (ids.empty()) return false;
+        auto ia = ids.find(a);
+        if (ia == ids.end()) return false;
+        auto ib = ids.find(b);
+        if (ib == ids.end()) return false;
+        const auto& va = ia->second;
+        const auto& vb = ib->second;
+        size_t x = 0, y = 0;
+        while (x < va.size() && y < vb.size()) {
+            if (va[x] == vb[y]) return true;
+            if (va[x] < vb[y]) ++x; else ++y;
+        }
+        return false;
+    }
+};
+
 struct Scorer {
     ParaphraseTable paraphrases;
+    SynonymTable synonyms;
+    // The jar's function/en.words when supplied (one word per line);
+    // otherwise the built-in closed-class list.
+    std::set<std::string> fwords = function_words();
+
+    bool load_function_words(const std::string& path) {
+        std::ifstream f(path);
+        if (!f) return false;
+        std::set<std::string> out;
+        std::string line;
+        while (std::getline(f, line)) {
+            size_t b0 = line.find_first_not_of(" \t\r\n");
+            if (b0 == std::string::npos) continue;
+            size_t e0 = line.find_last_not_of(" \t\r\n");
+            std::string w = line.substr(b0, e0 - b0 + 1);
+            if (w.empty() || w[0] == '#') continue;
+            for (auto& ch : w)
+                ch = static_cast<char>(std::tolower(static_cast<unsigned char>(ch)));
+            out.insert(w);
+        }
+        fwords = std::move(out);
+        return true;
+    }
+
+    double word_weight(const std::string& w) const {
+        return fwords.count(w) ? (1.0 - DELTA) : DELTA;
+    }
 };
 
 void add_phrase_candidates(const Scorer& sc,
@@ -196,6 +268,8 @@ std::vector<Match> candidates(const Scorer& sc,
                 cands.push_back({static_cast<int>(i), 1, static_cast<int>(j), 1, 0});
             else if (hs[i] == rs[j])
                 cands.push_back({static_cast<int>(i), 1, static_cast<int>(j), 1, 1});
+            else if (sc.synonyms.match(hyp[i], ref[j]))
+                cands.push_back({static_cast<int>(i), 1, static_cast<int>(j), 1, 2});
         }
     }
     add_phrase_candidates(sc, hyp, ref, &cands);
@@ -279,18 +353,30 @@ std::vector<Match> align(const Scorer& sc,
     return best->chosen;
 }
 
-double word_weight(const std::string& w) {
-    return function_words().count(w) ? (1.0 - DELTA) : DELTA;
-}
-
 }  // namespace
 
 extern "C" {
 
-void* ccn_meteor_new(const char* paraphrase_path) {
+// All three resource paths optional (NULL/empty = fall back: no
+// paraphrase stage, inert synonym stage, built-in function words).
+void* ccn_meteor_new(const char* paraphrase_path,
+                     const char* function_words_path,
+                     const char* synonyms_path) {
     auto* sc = new Scorer();
     if (paraphrase_path && paraphrase_path[0] != '\0') {
         if (!sc->paraphrases.load(paraphrase_path)) {
+            delete sc;
+            return nullptr;
+        }
+    }
+    if (function_words_path && function_words_path[0] != '\0') {
+        if (!sc->load_function_words(function_words_path)) {
+            delete sc;
+            return nullptr;
+        }
+    }
+    if (synonyms_path && synonyms_path[0] != '\0') {
+        if (!sc->synonyms.load(synonyms_path)) {
             delete sc;
             return nullptr;
         }
@@ -315,12 +401,12 @@ void ccn_meteor_stats(void* handle, const char* hyp_c, const char* ref_c,
         mh += m.hl;
         mr += m.rl;
         double sw = STAGE_WEIGHTS[m.stage];
-        for (int k = 0; k < m.hl; ++k) w_h += sw * word_weight(hyp[m.h + k]);
-        for (int k = 0; k < m.rl; ++k) w_r += sw * word_weight(ref[m.r + k]);
+        for (int k = 0; k < m.hl; ++k) w_h += sw * sc.word_weight(hyp[m.h + k]);
+        for (int k = 0; k < m.rl; ++k) w_r += sw * sc.word_weight(ref[m.r + k]);
     }
     double len_h = 0.0, len_r = 0.0;
-    for (const auto& w : hyp) len_h += word_weight(w);
-    for (const auto& w : ref) len_r += word_weight(w);
+    for (const auto& w : hyp) len_h += sc.word_weight(w);
+    for (const auto& w : ref) len_r += sc.word_weight(w);
 
     out[0] = mh;
     out[1] = mr;

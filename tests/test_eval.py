@@ -590,6 +590,16 @@ def test_spice_coordination_distribution():
     assert ("pizza", "topped", "cheese") in t
     assert ("pizza", "topped", "mushrooms") in t
 
+    # Regression (ADVICE r2): noun conjuncts whose head happens to match the
+    # adjectival-suffix heuristic ("boy", "baby", "lady") must NOT merge as
+    # coordinated attributes — both heads keep their objects and share the
+    # relation, as Java SPICE's distributed nsubj does.
+    t = extract_tuples("a boy and a girl sitting on a bench".split())
+    assert ("boy",) in t and ("girl",) in t
+    assert ("boy", "sitting", "bench") in t
+    assert ("girl", "sitting", "bench") in t
+    assert ("girl", "boy") not in t
+
 
 def test_spice_extractor_accuracy_floor():
     """Hand-annotated scene-graph tuples (Anderson et al. 2016 semantics:
@@ -647,3 +657,120 @@ def test_spice_extractor_accuracy_floor():
     # Current measured: keep a floor so regressions fail loudly.
     assert precision >= 0.85, (precision, recall)
     assert recall >= 0.90, (precision, recall)
+
+
+def test_meteor_synonym_stage_wordnet_format(tmp_path):
+    """Synonym stage driven by the jar's resource formats: english.synsets
+    (word id id ...) + english.exceptions (variant base ...).  Two words
+    match iff their synset-id sets intersect; exceptions inherit their base
+    forms' ids.  Score checked analytically (stage weight 0.8)."""
+    from clipcap_tpu.eval.meteor import Meteor, Synonyms
+
+    synsets = tmp_path / "english.synsets"
+    synsets.write_text(
+        "big 100 200\nlarge 200 300\ndog 400\nhound 400\n"
+        "goose 700\nbird 700 800\n")
+    exceptions = tmp_path / "english.exceptions"
+    exceptions.write_text("geese goose\n")
+    syn = Synonyms.load(str(synsets), str(exceptions))
+
+    assert syn.are_synonyms("big", "large")
+    assert syn.are_synonyms("dog", "hound")
+    assert not syn.are_synonyms("big", "dog")
+    assert syn.are_synonyms("geese", "bird")  # via inherited goose ids
+
+    m = Meteor(synonyms=syn)
+    # "a big dog" vs "a large hound": a=exact (w 1.0), big~large and
+    # dog~hound synonym (w 0.8); function 'a' weight .25, content .75.
+    w_matched = 1.0 * 0.25 + 0.8 * 0.75 + 0.8 * 0.75
+    w_len = 0.25 + 0.75 + 0.75
+    p = w_matched / w_len
+    fmean = p * p / (0.85 * p + 0.15 * p)
+    expected = (1.0 - 0.6 * (1.0 / 3.0) ** 0.2) * fmean
+    got = m.score_segment("a big dog", ["a large hound"])
+    assert abs(got - expected) < 1e-12
+    assert got > Meteor().score_segment("a big dog", ["a large hound"])
+
+    # Flat round-trip (the form materialized for the C++ core).
+    flat = tmp_path / "flat.txt"
+    syn.save_flat(str(flat))
+    syn2 = Synonyms.load_flat(str(flat))
+    assert syn2.are_synonyms("geese", "bird")
+    assert Meteor(synonyms=syn2).score_segment(
+        "a big dog", ["a large hound"]) == got
+
+
+def test_meteor_function_words_file(tmp_path):
+    """A function-word list in the jar's en.words format (one word per
+    line, # comments) replaces the built-in closed-class fallback."""
+    from clipcap_tpu.eval.meteor import Meteor, load_function_words
+
+    f = tmp_path / "en.words"
+    f.write_text("# METEOR function words\na\nthe\ndog\n")
+    words = load_function_words(str(f))
+    assert words == {"a", "the", "dog"}
+
+    custom = Meteor(function_words=words)
+    default = Meteor()
+    # 'dog' demoted to function word changes the weighted stats.
+    got = custom.score_segment("a dog runs", ["a dog walks"])
+    # matched: a (.25) + dog (.25 as function); unmatched runs (content .75)
+    w_matched = 0.25 + 0.25
+    w_len = 0.25 + 0.25 + 0.75
+    p = w_matched / w_len
+    fmean = p * p / (0.85 * p + 0.15 * p)
+    expected = (1.0 - 0.6 * (1.0 / 2.0) ** 0.2) * fmean
+    assert abs(got - expected) < 1e-12
+    assert got != default.score_segment("a dog runs", ["a dog walks"])
+
+
+def test_meteor_resource_defaults_via_env(tmp_path, monkeypatch):
+    """get_meteor picks up init-fetched resources through the env
+    overrides and configures whichever core it returns with them."""
+    from clipcap_tpu.eval import meteor as M
+
+    synsets = tmp_path / "english.synsets"
+    synsets.write_text("sofa 1\ncouch 1\n")
+    fwords = tmp_path / "en.words"
+    fwords.write_text("a\nthe\non\n")
+    monkeypatch.setenv("CLIPCAP_METEOR_SYNONYMS", str(synsets))
+    monkeypatch.setenv("CLIPCAP_METEOR_FUNCTION_WORDS", str(fwords))
+    monkeypatch.delenv("CLIPCAP_METEOR_PARAPHRASE", raising=False)
+
+    scorer = M.get_meteor(paraphrase_path=None)
+    got = scorer.score_segment("a cat on the sofa", ["a cat on the couch"])
+    # synonym stage must fire: sofa~couch share synset 1 (weight 0.8).
+    w_matched = 0.25 + 0.75 + 0.25 + 0.25 + 0.8 * 0.75
+    w_len = 0.25 + 0.75 + 0.25 + 0.25 + 0.75
+    p = w_matched / w_len
+    fmean = p * p / (0.85 * p + 0.15 * p)
+    expected = (1.0 - 0.6 * (1.0 / 5.0) ** 0.2) * fmean
+    assert abs(got - expected) < 1e-9
+
+    # Python fallback scorer agrees exactly with whatever core was used.
+    py = M.Meteor(synonyms=M.Synonyms.load(str(synsets)),
+                  function_words=M.load_function_words(str(fwords)))
+    assert abs(py.score_segment("a cat on the sofa",
+                                ["a cat on the couch"]) - got) < 1e-12
+
+
+def test_init_extracts_meteor_jar_resources(tmp_path, monkeypatch):
+    """init pulls function/en.words and synonym/english.* out of the
+    meteor-1.5.jar zip into the meteor cache dir."""
+    import zipfile
+
+    from clipcap_tpu.init import base as init_base
+
+    jar = tmp_path / "meteor-1.5.jar"
+    with zipfile.ZipFile(jar, "w") as z:
+        z.writestr("function/en.words", "a\nthe\n")
+        z.writestr("synonym/english.synsets", "big 1\nlarge 1\n")
+        z.writestr("synonym/english.exceptions", "larger large\n")
+        z.writestr("Meteor.class", "\x00")
+    out = tmp_path / "cache"
+    out.mkdir()
+    monkeypatch.setattr(init_base, "_METEOR_DIR", str(out))
+    assert init_base._extract_meteor_resources(str(jar))
+    assert (out / "en.words").read_text() == "a\nthe\n"
+    assert (out / "english.synsets").exists()
+    assert (out / "english.exceptions").exists()

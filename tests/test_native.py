@@ -182,3 +182,43 @@ def test_native_meteor_thread_safety():
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         got = list(ex.map(lambda p: m.score_segment(*p), pairs))
     assert got == expected
+
+
+def test_native_meteor_full_resources_matches_python(tmp_path):
+    """C++ core with ALL jar resources (paraphrase + flat synonyms + en.words
+    function list) must agree with the Python scorer to 1e-12 on random
+    sentences (the Python implementation is the behavioral spec)."""
+    _native_or_skip()
+    import gzip
+    import random
+
+    from clipcap_tpu.eval.meteor import (
+        Meteor as PyMeteor, Synonyms, _flat_synonyms_path,
+        load_function_words)
+    from clipcap_tpu.native.meteor import Meteor as CMeteor
+
+    table = tmp_path / "paraphrase-test.gz"
+    with gzip.open(table, "wt") as f:
+        f.write("sofa ||| couch\nnext to ||| beside\n")
+    synsets = tmp_path / "english.synsets"
+    synsets.write_text("big 1 2\nlarge 2\ndog 3\nhound 3\ncat 4\nkitten 4\n")
+    exceptions = tmp_path / "english.exceptions"
+    exceptions.write_text("bigger big\n")
+    fwords = tmp_path / "en.words"
+    fwords.write_text("a\nthe\non\nnear\nto\n")
+
+    flat = _flat_synonyms_path(str(synsets), str(exceptions))
+    py = PyMeteor(paraphrase_path=str(table),
+                  synonyms=Synonyms.load(str(synsets), str(exceptions)),
+                  function_words=load_function_words(str(fwords)))
+    c = CMeteor(paraphrase_path=str(table), function_words_path=str(fwords),
+                synonyms_path=flat)
+
+    vocab = ("a the sofa couch next to beside big bigger large dog hound "
+             "cat kitten sits on near tree red").split()
+    rng = random.Random(11)
+    for _ in range(100):
+        hyp = " ".join(rng.choices(vocab, k=rng.randint(1, 10)))
+        refs = [" ".join(rng.choices(vocab, k=rng.randint(1, 10)))
+                for _ in range(2)]
+        assert abs(py.score_segment(hyp, refs) - c.score_segment(hyp, refs)) < 1e-12
