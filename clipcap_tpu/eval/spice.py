@@ -38,7 +38,8 @@ PREPOSITIONS = {"in", "on", "at", "by", "with", "near", "under", "over",
                 "above", "below", "behind", "beside", "between", "among",
                 "around", "inside", "outside", "against", "along", "across",
                 "through", "onto", "into", "atop", "upon", "underneath",
-                "next", "of", "to", "from"}
+                "next", "of", "to", "from", "off", "past", "beneath",
+                "toward", "towards", "during", "throughout"}
 COPULAS = {"is", "are", "was", "were", "be", "been", "being", "looks",
            "seems", "appears"}
 CONJUNCTIONS = {"and", "or"}
@@ -59,6 +60,19 @@ ADJECTIVES = {
 }
 
 
+def _plural_noun(word: str) -> bool:
+    """Surface-plural noun heuristic for asyndetic-list splitting."""
+    return (len(word) > 3 and word.endswith("s")
+            and not word.endswith(("ss", "us", "is"))
+            and word not in ADJECTIVES)
+
+
+# Predicative-tending adjectives that routinely trail their noun inside an
+# NP chunk ("a vase full of flowers", "a laptop sits open") — safe to
+# demote from the head slot, unlike noun/adjective homographs ("light").
+_POSTNOMINAL_ADJ = {"full", "empty", "open", "closed"}
+
+
 def _looks_like_adjective(word: str) -> bool:
     return word in ADJECTIVES or (
         word.endswith(_ADJ_SUFFIXES) and word not in FUNCTION_WORDS
@@ -74,17 +88,30 @@ VERBS = {
     "flies", "flew", "swims", "swam", "drives", "drove", "watches",
     "watched", "carries", "carried", "catches", "caught", "throws",
     "threw", "kicks", "kicked", "hits", "reads", "writes", "wrote",
-    "talks", "talked", "smiled", "waved", "pointed", "leans", "leaned",
-    "rests", "rested", "grazes", "grazed", "perches", "perched", "lays",
-    "lies", "hangs", "hung", "parked", "fills", "filled", "covers",
-    "covered", "topped", "surrounds", "surrounded", "stares", "grabs",
-    "pulls", "pushes",
+    "talks", "talked", "smiled", "smiles", "waved", "waves", "pointed",
+    "leans", "leaned", "rests", "rested", "grazes", "grazed", "perches",
+    "perched", "lays", "lies", "hangs", "hung", "parked", "fills",
+    "filled", "covers", "covered", "topped", "surrounds", "surrounded",
+    "stares", "grabs", "pulls", "pushes",
+    "travels", "traveled", "floats", "floated", "docks", "docked",
+    "swings", "swung", "paints", "painted", "lined", "lines", "serves",
+    "served", "sails", "sailed", "splashes", "dives", "climbs", "climbed",
+    "crosses", "crossed", "passes", "passed", "lands", "landed", "soars",
+    "glides", "races", "raced", "skis", "surfs", "surfed", "skates",
+    "strolls", "wades", "approaches", "leaps", "leaped", "chases",
+    "chased", "feeds", "fed", "licks", "sniffs", "barks", "spins",
+    "rolls", "slides", "bounces", "kneels", "squats", "crouches",
+    "crouched", "stretches", "poses", "posed", "waits", "waited",
+    "looks", "gazes", "laughs", "speaks", "spoke", "chats",
 }
 
 
 def _is_verb(word: str, prev_word: str | None) -> bool:
     """Heuristic POS: finite/participial verb.  -ing words are verbs unless
-    directly after an article ('a painting' is a noun)."""
+    directly after an article ('a painting' is a noun); closed-class words
+    never are ('during')."""
+    if word in PREPOSITIONS or word in FUNCTION_WORDS or word in ARTICLES:
+        return False
     if word in VERBS:
         return True
     if word.endswith("ing") and len(word) > 4 and prev_word not in ARTICLES:
@@ -133,18 +160,31 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
             i += 1
             continue
         # NP: optional articles, then content words until a link/verb/end.
+        # A known verb breaks the NP even in first position ("a dog that
+        # SITS on ..." — relative pronouns consume the article slot, so the
+        # verb would otherwise become the NP head); _is_verb's article
+        # guard keeps deverbal nouns ("a painting") as heads.
         j = i
         while j < n and words[j] in ARTICLES:
             j += 1
         content = []
         while j < n and words[j] not in PREPOSITIONS and words[j] not in COPULAS \
                 and words[j] not in CONJUNCTIONS and words[j] not in FUNCTION_WORDS \
-                and not (content and _is_verb(words[j], words[j - 1])):
+                and not _is_verb(words[j], words[j - 1]):
             content.append(words[j])
             j += 1
         if content:
-            head = content[-1]
-            mods = content[:-1]
+            # Head = last content word, unless that word is a predicative-
+            # tending adjective trailing a real noun ("a vase FULL of ...")
+            # — then the noun heads and the adjective modifies.  The closed
+            # POSTNOMINAL set avoids demoting noun/adjective homographs
+            # ("a traffic light", "an orange").
+            head_pos = len(content) - 1
+            if content[head_pos] in _POSTNOMINAL_ADJ:
+                head_pos = max((k for k, w2 in enumerate(content)
+                                if w2 not in ADJECTIVES), default=head_pos)
+            head = content[head_pos]
+            mods = content[:head_pos] + content[head_pos + 1:]
             chunks.append(("np", (head, mods)))
             i = j
         else:
@@ -156,17 +196,56 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
     # conjunction to a following NP, contributes its words as modifiers of
     # that NP's head ("a red and blue umbrella" → (umbrella, red),
     # (umbrella, blue) — Java SPICE distributes conjoined amods the same way).
+    # Only the CLOSED adjective set qualifies here: the suffix heuristic
+    # matches common caption nouns ("boy", "baby", "lady", "bed"), which
+    # would wrongly merge "a boy and a girl ..." into one NP instead of a
+    # coordination group that distributes the relation to both heads.
     i = 0
     while i + 2 < len(chunks):
         if (chunks[i][0] == "np" and chunks[i + 1][0] == "conj"
                 and chunks[i + 2][0] == "np"):
             head_a, mods_a = chunks[i][1]
             head_b, mods_b = chunks[i + 2][1]
-            if _looks_like_adjective(head_a) and not _looks_like_adjective(head_b):
+            if head_a in ADJECTIVES and not _looks_like_adjective(head_b):
                 chunks[i + 2] = ("np", (head_b, mods_a + [head_a] + mods_b))
                 del chunks[i:i + 2]
                 continue
         i += 1
+
+    # Post-verbal bare adjectives are adverbial/resultative, not objects
+    # ("flies HIGH above the beach", "sits OPEN on a desk"): demote to
+    # links so the relation scan passes through them.
+    for idx in range(len(chunks)):
+        if (chunks[idx][0] == "np" and not chunks[idx][1][1]
+                and chunks[idx][1][0] in ADJECTIVES
+                and idx > 0 and chunks[idx - 1][0] == "link"
+                and _is_verb(chunks[idx - 1][1], None)):
+            chunks[idx] = ("link", chunks[idx][1][0])
+
+    # Asyndetic lists: the PTB pipeline strips commas, so "plates, cups and
+    # bowls" arrives as "plates cups and bowls" and the first nouns chunk
+    # as a compound.  At a conjunction boundary, plural non-adjective
+    # "modifiers" (or non-adjective mods under a plural head) are elided
+    # conjuncts — split them into the coordination.
+    idx = 0
+    while idx < len(chunks):
+        at_conj = ((idx + 1 < len(chunks) and chunks[idx + 1][0] == "conj")
+                   or (idx > 0 and chunks[idx - 1][0] == "conj"))
+        if chunks[idx][0] == "np" and at_conj:
+            head, mods = chunks[idx][1]
+            split = [m for m in mods
+                     if (_plural_noun(m) or _plural_noun(head))
+                     and m not in ADJECTIVES and not _looks_like_adjective(m)]
+            if split:
+                keep = [m for m in mods if m not in split]
+                repl: List[Tuple[str, object]] = []
+                for m in split:
+                    repl.extend([("np", (m, [])), ("conj", "and")])
+                repl.append(("np", (head, keep)))
+                chunks[idx:idx + 1] = repl
+                idx += len(repl)
+                continue
+        idx += 1
 
     # Coordination groups: NP (conj NP)* — conjoined heads share relations
     # ("a man and a woman sitting on a bench" → both (man, sitting, bench)
@@ -187,8 +266,26 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
             group_of[g] = group
         idx = j + 1
 
+    # Copular predicates: NP COP NP — the attribute distributes over the
+    # predicate's conjunction group ("the sky is dark and cloudy") and
+    # adjective-headed predicates do not emit object tuples of their own;
+    # nominal predicates stay objects too ("the man is a doctor").
+    suppress: set = set()
+    for a in range(len(chunks) - 2):
+        if (chunks[a][0] == "np" and chunks[a + 1][0] == "link"
+                and chunks[a + 1][1] in COPULAS and chunks[a + 2][0] == "np"):
+            head = chunks[a][1][0]
+            for g in group_of.get(a + 2, [a + 2]):
+                attr_head, attr_mods = chunks[g][1]
+                tuples.add((head, attr_head))
+                for m in attr_mods:
+                    tuples.add((head, m))
+                if attr_head in ADJECTIVES or _looks_like_adjective(attr_head):
+                    suppress.add(g)
+
     # Emit object/attribute tuples.
-    np_list = [(idx, c[1]) for idx, c in enumerate(chunks) if c[0] == "np"]
+    np_list = [(idx, c[1]) for idx, c in enumerate(chunks)
+               if c[0] == "np" and idx not in suppress]
     for _, (head, mods) in np_list:
         tuples.add((head,))
         for m in mods:
@@ -198,6 +295,14 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
     # Scan starts at the LAST member of a subject coordination group and the
     # relation is distributed over every subject head; a coordinated object
     # group likewise receives the relation on each of its heads.
+    # ``rel_into[obj] = (subj, rel)`` records the chain for subject lifting:
+    # * verb relations lift to the clause subject through post-nominal
+    #   PPs/participles ("a man in a jacket RIDING a bicycle" → man rides),
+    #   but NOT through "of" chains, whose content noun acts ("a group of
+    #   people STANDING ..." → people stand);
+    # * preposition relations lift only through "of" chains — the container
+    #   locates ("a bowl of soup ON the counter" → bowl on counter).
+    rel_into: Dict[int, Tuple[int, str]] = {}
     for a in range(len(chunks)):
         if chunks[a][0] != "np" or group_of[a][-1] != a:
             continue
@@ -220,9 +325,23 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
                 if rel is None and links:
                     rel = links[-1]
                 if rel:
-                    for ga in group_of[a]:
+                    subj_idx = group_of[a][0]
+                    if _is_verb(rel, None):
+                        seen_l: set = set()
+                        while (subj_idx in rel_into and subj_idx not in seen_l
+                               and rel_into[subj_idx][1] != "of"):
+                            seen_l.add(subj_idx)
+                            subj_idx = rel_into[subj_idx][0]
+                    else:
+                        while (subj_idx in rel_into
+                               and rel_into[subj_idx][1] == "of"):
+                            subj_idx = rel_into[subj_idx][0]
+                    subj_group = group_of.get(subj_idx, [subj_idx])
+                    for ga in subj_group:
                         for gb in group_of[b]:
                             tuples.add((chunks[ga][1][0], rel, chunks[gb][1][0]))
+                    for gb in group_of[b]:
+                        rel_into.setdefault(gb, (group_of[a][0], rel))
                 break
 
     # Intransitive verbs: NP V with no object NP before a conjunction/end
@@ -243,16 +362,6 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
                 break
         if not has_object:
             tuples.add((prev_np, chunks[a][1]))
-
-    # Copular attributes: NP COP content-word
-    for a in range(len(chunks) - 2):
-        if chunks[a][0] == "np" and chunks[a + 1] == ("link", chunks[a + 1][1]) \
-                and chunks[a + 1][1] in COPULAS and chunks[a + 2][0] == "np":
-            head = chunks[a][1][0]
-            attr_head, attr_mods = chunks[a + 2][1]
-            tuples.add((head, attr_head))
-            for m in attr_mods:
-                tuples.add((head, m))
 
     return tuples
 

@@ -93,20 +93,50 @@ def beam_search_batched(
     total = P + N
     t = bp.temperature if bp.temperature > 0 else 1.0
 
-    # Prefill all K rows per sample with the (identical) prefix.  Redundant
-    # compute once, but it leaves every row with its own valid prefix K/V so
-    # the ancestry table can start as "own row" everywhere.
-    pe = jnp.repeat(prefix_embeds.astype(dtype), K, axis=0)  # [B, P, D]
-    cache = init_kv_cache(cfg, B, total, dtype=dtype, beam_size=K,
-                          int8=bp.int8_kv)
-    logits0, cache = gpt2_apply(
-        params, cfg, inputs_embeds=pe, kv_cache=cache,
-        cache_index=jnp.int32(0), dtype=dtype, precision=precision,
-        beam_size=K,
-    )
-    logp0 = jax.nn.log_softmax(
-        logits0[:, -1].astype(jnp.float32) / t, axis=-1
-    ).reshape(R, K, -1)[:, 0]                                # [R, V]
+    C = bp.consolidate_every
+    if C > 0:
+        # Prefill-to-shared: the prefix is identical for every beam, so run
+        # it ONCE per sample straight into the shared consolidated cache
+        # (slot t = position t).  The live beam cache then holds only the
+        # N generated positions (cache_base=P addressing) — 1/K the prefill
+        # compute and K*P fewer live slots than replicating the prefix.
+        shared = init_shared_kv(cfg, R, total, dtype=dtype, int8=bp.int8_kv)
+        hidden0, shared = gpt2_apply(
+            params, cfg, inputs_embeds=prefix_embeds.astype(dtype),
+            kv_cache=shared, cache_index=jnp.int32(0), dtype=dtype,
+            precision=precision, return_logits=False,
+        )
+        # Only the LAST prefill position feeds the first ranking — project
+        # one row instead of materializing [R, P, vocab] logits.
+        logits0 = jnp.dot(hidden0[:, -1],
+                          params["wte"].T.astype(hidden0.dtype),
+                          precision=precision)
+        cache = init_kv_cache(cfg, B, N, dtype=dtype, beam_size=K,
+                              int8=bp.int8_kv)
+        logp0 = jax.nn.log_softmax(
+            logits0.astype(jnp.float32) / t, axis=-1)            # [R, V]
+        anc_len = N
+    else:
+        # Reference single-loop path: prefill all K rows per sample with
+        # the (identical) prefix.  Redundant compute once, but it leaves
+        # every row with its own valid prefix K/V so the ancestry table can
+        # start as "own row" everywhere.
+        shared = None
+        pe = jnp.repeat(prefix_embeds.astype(dtype), K, axis=0)  # [B, P, D]
+        cache = init_kv_cache(cfg, B, total, dtype=dtype, beam_size=K,
+                              int8=bp.int8_kv)
+        hidden0, cache = gpt2_apply(
+            params, cfg, inputs_embeds=pe, kv_cache=cache,
+            cache_index=jnp.int32(0), dtype=dtype, precision=precision,
+            beam_size=K, return_logits=False,
+        )
+        # Only group-row 0's last position feeds the first ranking.
+        h_last = hidden0.reshape(R, K, P, -1)[:, 0, -1]
+        logits0 = jnp.dot(h_last, params["wte"].T.astype(h_last.dtype),
+                          precision=precision)
+        logp0 = jax.nn.log_softmax(
+            logits0.astype(jnp.float32) / t, axis=-1)            # [R, V]
+        anc_len = total
     V = logp0.shape[-1]
     scores0, first_tokens = jax.lax.top_k(logp0, K)          # [R, K]
 
@@ -116,7 +146,10 @@ def beam_search_batched(
     has_stopped = first_tokens == bp.stop_token
 
     own_row = (jnp.arange(B, dtype=jnp.int32) % K)[:, None]  # [B, 1]
-    ancestry = jnp.broadcast_to(own_row, (B, total))         # own row everywhere
+    # Ancestry indexes absolute positions (C=0) or generated positions
+    # t - P (consolidated mode, matching the live cache's base-P slots).
+    ancestry = jnp.broadcast_to(own_row, (B, anc_len))       # own row everywhere
+    base = P if C > 0 else 0
 
     def cond(state):
         step = state[0]
@@ -130,14 +163,14 @@ def beam_search_batched(
         # Each beam writes its own row, so ancestry there is "own row".
         pos = P + step - 1
         ancestry = jax.lax.dynamic_update_slice(
-            ancestry, own_row, (0, pos)
+            ancestry, own_row, (0, pos - base)
         )
         last_tok = jax.lax.dynamic_slice_in_dim(tokens, step - 1, 1, axis=2)
         emb = gpt2_embed_tokens(params, last_tok.reshape(B, 1), dtype)
         step_logits, new_cache = gpt2_apply(
             params, cfg, inputs_embeds=emb, kv_cache=cache, cache_index=pos,
             dtype=dtype, precision=precision, beam_size=K, ancestry=ancestry,
-            shared_kv=shared, shared_len=c,
+            shared_kv=shared, shared_len=c, cache_base=base,
         )
         # Candidate-based ranking — exact, but never materializes the fp32
         # [B, V] log-softmax (the reference ranks avg = (scores+logp)/len
@@ -185,25 +218,25 @@ def beam_search_batched(
         stopped = jnp.take_along_axis(stopped, src, axis=1)
         scores = top_avg * seq_lengths                               # base.py:113
         ancestry = jnp.take_along_axis(
-            ancestry.reshape(R, K, total), src[:, :, None], axis=1
-        ).reshape(B, total)
+            ancestry.reshape(R, K, anc_len), src[:, :, None], axis=1
+        ).reshape(B, anc_len)
 
         stopped = jnp.logical_or(stopped, next_tok == bp.stop_token)
         return (step + 1, tokens, scores, seq_lengths, new_cache, stopped, ancestry)
 
     state = (jnp.int32(1), tokens, scores0, seq_lengths, cache, has_stopped, ancestry)
 
-    C = bp.consolidate_every
     if C > 0:
         # Chunked decode with converged-prefix consolidation: between
-        # C-step inner loops, gather every position on which all K beams'
-        # ancestry agrees (prefix positions qualify by construction — the
-        # prefill wrote identical K/V to every row) into a shared
-        # 1-slot-per-position cache (models/gpt2.py::init_shared_kv).
-        # Inside the chunk the shared buffer and converged length c are
-        # loop-invariant, so the per-layer cache updates keep aliasing in
-        # place exactly as in the single-loop path.
-        shared = init_shared_kv(cfg, R, total, dtype=dtype, int8=bp.int8_kv)
+        # C-step inner loops, gather every generated position on which all
+        # K beams' ancestry agrees into the shared 1-slot-per-position
+        # cache (models/gpt2.py::init_shared_kv; the prefix is there from
+        # the prefill).  The converged length c is PER SAMPLE — surviving
+        # beams converge at different depths, and a single straggler would
+        # otherwise pin the whole batch's consolidation (the flash kernel
+        # takes per-row-block tile bounds).  Inside the chunk the shared
+        # buffer and c are loop-invariant, so the per-layer cache updates
+        # keep aliasing in place exactly as in the single-loop path.
         _sb0 = shared[0][0] if isinstance(shared[0], tuple) else shared[0]
         sc_slots = _sb0.shape[2]
 
@@ -214,19 +247,17 @@ def beam_search_batched(
         def outer_body(ostate):
             st, shared, c = ostate
             step, _, _, _, cache, _, ancestry = st
-            anc3 = ancestry.reshape(R, K, total)
-            base = anc3[:, 0]                              # [R, total]
-            t_iota = jax.lax.broadcasted_iota(jnp.int32, (R, total), 1)
-            conv = jnp.all(anc3 == base[:, None, :], axis=1)
-            conv = jnp.logical_or(conv, t_iota < P)        # identical content
-            conv = jnp.logical_and(conv, t_iota < P + step - 1)  # written only
+            anc3 = ancestry.reshape(R, K, N)
+            rows0 = anc3[:, 0]                             # [R, N]
+            t_iota = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+            conv = jnp.all(anc3 == rows0[:, None, :], axis=1)
+            conv = jnp.logical_and(conv, t_iota < step - 1)  # written only
             conv = jnp.concatenate(
                 [conv, jnp.zeros((R, 1), bool)], axis=1)   # all-True sentinel
-            # First non-converged position, min over the batch (the grid
-            # bound and mask are shared across sample groups).
-            c = jnp.maximum(c, jnp.min(jnp.argmin(conv, axis=1)).astype(jnp.int32))
-            rows = jnp.pad(base, ((0, 0), (0, sc_slots - total)))
-            shared = consolidate_kv_cache(cache, shared, rows, K)
+            # Per-sample converged length (leading all-equal run).
+            c = jnp.maximum(c, P + jnp.argmin(conv, axis=1).astype(jnp.int32))
+            rows = jnp.pad(rows0, ((0, 0), (0, sc_slots - P - N)))
+            shared = consolidate_kv_cache(cache, shared, rows, K, base=P)
 
             entry = step
 
@@ -240,7 +271,8 @@ def beam_search_batched(
             return (st, shared, c)
 
         state, _, _ = jax.lax.while_loop(
-            outer_cond, outer_body, (state, shared, jnp.int32(0)))
+            outer_cond, outer_body,
+            (state, shared, jnp.full((R,), P, jnp.int32)))
     else:
         state = jax.lax.while_loop(cond, body, state)
     _, tokens, scores, seq_lengths, _, _, _ = state

@@ -123,12 +123,16 @@ def decode(
 
     cache = init_kv_cache(cfg, B, total, dtype=dtype, int8=sp.int8_kv)
 
-    # Prefill the whole prefix in one pass.
-    logits, cache = gpt2_apply(
+    # Prefill the whole prefix in one pass; only the LAST position's logits
+    # feed the first sampling step, so project one row instead of the full
+    # [B, P, vocab] table (at batch 512 that table alone is ~0.5 GB).
+    hidden, cache = gpt2_apply(
         params, cfg, inputs_embeds=prefix_embeds.astype(dtype), kv_cache=cache,
         cache_index=jnp.int32(0), dtype=dtype, precision=precision,
+        return_logits=False,
     )
-    first_logits = logits[:, -1]  # [B, V]
+    first_logits = jnp.dot(hidden[:, -1], params["wte"].T.astype(hidden.dtype),
+                           precision=precision)  # [B, V]
 
     # Fixed-size repetition/token buffer: text-prefix tokens then generated.
     Tp = 0 if prefix_tokens is None else prefix_tokens.shape[1]

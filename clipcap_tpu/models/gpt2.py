@@ -235,23 +235,28 @@ def init_shared_kv(cfg: GPT2Config, groups: int, max_len: int,
     return tuple(jnp.zeros(shape, dtype=dtype) for _ in range(cfg.n_layer))
 
 
-def consolidate_kv_cache(kv_cache, shared_kv, rows: Array, beam_size: int):
+def consolidate_kv_cache(kv_cache, shared_kv, rows: Array, beam_size: int,
+                         base: int = 0):
     """Gather the converged beam prefix into the shared cache.
 
-    ``rows``: [groups, Sc] int32 — for each sample group and position ``t``,
-    the live-cache beam row holding the (converged) K/V: time-major live
-    slot ``t*K + rows[r, t]``.  Positions beyond the converged length may
-    carry arbitrary valid row indices — their gathered values are masked
-    off by the shared-region mask until a later consolidation covers them.
+    ``rows``: [groups, W] int32 — for each sample group and position
+    ``base + w``, the live-cache beam row holding the (converged) K/V:
+    time-major live slot ``w*K + rows[r, w]``.  Positions beyond the
+    converged length may carry arbitrary valid row indices — their
+    gathered values are masked off by the shared-region mask until a later
+    consolidation covers them.  ``base``: number of leading shared
+    positions NOT represented in the live cache (the prefix, when it was
+    prefilled straight into the shared buffer) — slots ``[0, base)`` are
+    preserved as-is.
 
-    Rewrites the full shared buffer (idempotent for already-consolidated
-    positions); the amortized cost is one shared-buffer-sized gather per
-    consolidation interval.
+    Rewrites the gathered region of the shared buffer (idempotent for
+    already-consolidated positions); the amortized cost is one
+    shared-buffer-sized gather per consolidation interval.
     """
     K = beam_size
-    R, Sc = rows.shape
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Sc), 1)
-    idx = t_iota * K + jnp.clip(rows, 0, K - 1)          # [R, Sc] live slots
+    R, W = rows.shape
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    idx = t_iota * K + jnp.clip(rows, 0, K - 1)          # [R, W] live slots
 
     # Gather as a one-hot MXU matmul: an XLA gather over the wide cache rows
     # lowers to the scalar core (measured ~0.8 s per consolidation on v5e —
@@ -267,28 +272,35 @@ def consolidate_kv_cache(kv_cache, shared_kv, rows: Array, beam_size: int):
             # Clamp (padded shared positions can index past the live
             # buffer; those slots are masked downstream).
             ixc = jnp.minimum(idx, U - 1)
-            j_iota = jax.lax.broadcasted_iota(jnp.int32, (R, Sc, U), 2)
+            j_iota = jax.lax.broadcasted_iota(jnp.int32, (R, W, U), 2)
             onehot_cache[key] = (ixc[:, :, None] == j_iota).astype(dt)
         return onehot_cache[key]
 
-    def gather_rows(live):
+    def gather_rows(live, shared):
         oh = onehot(live.shape[2], jnp.bfloat16 if live.dtype == jnp.int8
                     else live.dtype)
         out = jnp.einsum("rtj,rhjd->rhtd", oh, live.astype(oh.dtype),
                          precision=jax.lax.Precision.HIGHEST)
-        return out.astype(live.dtype)  # int8 values <= 127 are exact in bf16
+        out = out.astype(live.dtype)  # int8 values <= 127 are exact in bf16
+        if base:
+            out = jnp.concatenate([shared[:, :, :base], out], axis=2)
+        return out[:, :, :shared.shape[2]]
 
-    def gather_scales(live):
-        return jnp.einsum("rtj,rhj->rht", onehot(live.shape[2], live.dtype),
-                          live, precision=jax.lax.Precision.HIGHEST)
+    def gather_scales(live, shared):
+        out = jnp.einsum("rtj,rhj->rht", onehot(live.shape[2], live.dtype),
+                         live, precision=jax.lax.Precision.HIGHEST)
+        if base:
+            out = jnp.concatenate([shared[:, :, :base], out], axis=2)
+        return out[:, :, :shared.shape[2]]
 
     out = []
     for live, shared in zip(kv_cache, shared_kv):
         if isinstance(live, tuple):                       # int8: rows + scales
-            out.append((gather_rows(live[0]),
-                        gather_scales(live[1]), gather_scales(live[2])))
+            out.append((gather_rows(live[0], shared[0]),
+                        gather_scales(live[1], shared[1]),
+                        gather_scales(live[2], shared[2])))
         else:
-            out.append(gather_rows(live))
+            out.append(gather_rows(live, shared))
     return tuple(out)
 
 
@@ -351,6 +363,7 @@ def _cached_block(
     shared=None,
     shared_mask: Optional[Array] = None,
     shared_len=None,
+    cache_base: int = 0,
 ) -> Tuple[Array, Array]:
     """One block in cached (prefill/decode) mode.
 
@@ -455,14 +468,18 @@ def _cached_block(
         # Time-major slots (t*K + kb): positions [cache_index, cache_index+S)
         # for all K rows are one contiguous slot range — ONE in-place update.
         new_flat = new_kv.transpose(0, 1, 3, 2, 4).reshape(R, H, S * K, 2 * Dh)
+        # Live-cache slot index: with ``cache_base`` P (prefill-to-shared),
+        # the live buffer holds only generated positions — slot for
+        # absolute position t is (t - P)*K + kb.
+        live_index = cache_index - cache_base
         if int8kv:
             q8, sk, sv = _quantize_kv(new_flat, Dh)
-            ckv = jax.lax.dynamic_update_slice(ckv, q8, (0, 0, cache_index * K, 0))
-            csk = jax.lax.dynamic_update_slice(csk, sk, (0, 0, cache_index * K))
-            csv = jax.lax.dynamic_update_slice(csv, sv, (0, 0, cache_index * K))
+            ckv = jax.lax.dynamic_update_slice(ckv, q8, (0, 0, live_index * K, 0))
+            csk = jax.lax.dynamic_update_slice(csk, sk, (0, 0, live_index * K))
+            csv = jax.lax.dynamic_update_slice(csv, sv, (0, 0, live_index * K))
         else:
             ckv = jax.lax.dynamic_update_slice(
-                ckv, new_flat.astype(ckv.dtype), (0, 0, cache_index * K, 0)
+                ckv, new_flat.astype(ckv.dtype), (0, 0, live_index * K, 0)
             )
 
         if ancestry is None:
@@ -494,13 +511,22 @@ def _cached_block(
                 carry = None
                 u_lo = None
                 if shared is not None:
+                    import os as _os
+
+                    # Small tiles + small row blocks: the per-block tile
+                    # bound tracks each sample's own converged length c_r,
+                    # so the shared stream is ~c_r slots, not the buffer.
                     carry = flash_decode(
                         q1, shared, shared_mask, u_valid=shared_len,
                         scales=(ssk, ssv) if sh_int8 else None,
-                        return_carry=True)
-                    u_lo = shared_len * K
+                        return_carry=True,
+                        u_tile=int(_os.environ.get(
+                            "CLIPCAP_FLASH_SHARED_TILE", 16)),
+                        max_block_rows=int(_os.environ.get(
+                            "CLIPCAP_FLASH_SHARED_ROWS", 4)))
+                    u_lo = (shared_len - cache_base) * K
                 attn = flash_decode(q1, ckv, ancestry,
-                                    u_valid=(cache_index + 1) * K,
+                                    u_valid=(live_index + 1) * K,
                                     scales=(csk, csv) if int8kv else None,
                                     u_lo=u_lo, carry=carry)
             else:
@@ -593,6 +619,7 @@ def gpt2_apply(
     flash: Optional[bool] = None,
     shared_kv=None,
     shared_len: Optional[Array] = None,
+    cache_base: int = 0,
 ):
     """GPT-2 forward.
 
@@ -611,9 +638,15 @@ def gpt2_apply(
       names the group row holding beam b's K/V for position t.  This is the
       lazy (gather-free) beam reorder — see ``_cached_block``.  With
       ``shared_kv`` (per-layer consolidated buffers from ``init_shared_kv``)
-      + ``shared_len`` c (traced), positions ``t < c`` are served from the
-      shared buffer (1 slot per position) and excluded from the live
-      ancestry mask; attention is the two-phase online-softmax merge.
+      + ``shared_len`` c (traced scalar, or per-group [R] vector so each
+      sample's own converged length bounds its stream), positions ``t < c``
+      are served from the shared buffer (1 slot per position) and excluded
+      from the live ancestry mask; attention is the two-phase
+      online-softmax merge.  ``cache_base`` P > 0 (prefill-to-shared)
+      declares that the live cache stores only positions ``t >= P`` (slot
+      ``(t-P)*K + kb``) — the prefix was prefilled straight into the
+      shared buffer and ``shared_len >= P`` always; ``ancestry`` is then
+      indexed by generated position ``t - P``.
 
     ``flash``: use the Pallas flash-decode kernel for cached single-token
     attention (``ops/flash_decode`` — one pass over the interleaved cache).
@@ -707,19 +740,25 @@ def gpt2_apply(
                 anc = jnp.pad(anc, ((0, 0), (0, 0), (0, slots - K * Tl)),
                               constant_values=-1)      # never matches a row
             s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, slots), 2)
-            visible = jnp.logical_and(anc == s_iota % K, s_iota // K <= offset)
+            pos = cache_base + s_iota // K             # absolute position
+            visible = jnp.logical_and(anc == s_iota % K, pos <= offset)
             if shared_kv is not None:
                 # Consolidated positions are served from the shared buffer;
                 # exclude them here so the two phases partition the context.
-                visible = jnp.logical_and(visible, s_iota // K >= shared_len)
+                # shared_len may be per-group [R] — broadcast over (K, slot).
+                c_vec = jnp.asarray(shared_len, jnp.int32)
+                c3 = (c_vec.reshape(R, 1, 1) if c_vec.ndim else
+                      c_vec.reshape(1, 1, 1))
+                visible = jnp.logical_and(visible, pos >= c3)
                 _sbuf0 = (shared_kv[0][0] if isinstance(shared_kv[0], tuple)
                           else shared_kv[0])
                 sc_slots = _sbuf0.shape[2]
                 c_iota = jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, sc_slots), 2)
-                shared_mask = jnp.where(c_iota < shared_len, 0.0,
+                shared_mask = jnp.where(c_iota < c3, 0.0,
                                         NEG_INF).astype(jnp.float32)
-                shared_mask = jnp.broadcast_to(shared_mask, (1, K, sc_slots))
+                shared_mask = jnp.broadcast_to(
+                    shared_mask, (c3.shape[0], K, sc_slots))
             beam_mask = jnp.where(visible, 0.0, NEG_INF).astype(jnp.float32)
 
         # Unrolled layer loop with per-layer cache buffers: each layer's
@@ -737,6 +776,7 @@ def gpt2_apply(
                 flash=bool(flash),
                 shared=None if shared_kv is None else shared_kv[l],
                 shared_mask=shared_mask, shared_len=shared_len,
+                cache_base=cache_base,
             )
             new_cache.append(ckv)
         x = h

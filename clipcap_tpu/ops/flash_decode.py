@@ -77,25 +77,37 @@ def _pick_u_tile(U: int) -> int:
 _BLOCK_BYTES_TARGET = float(_os.environ.get("CLIPCAP_FLASH_BLOCK_MB", 2.5)) * 2 ** 20
 
 
-def _row_block(R: int, H: int, u_tile: int, Dh: int, itemsize: int) -> int:
+def _row_block(R: int, H: int, u_tile: int, Dh: int, itemsize: int,
+               max_rows: int | None = None) -> int:
     """Rows per grid step: biggest divisor of R whose kv tile fits the VMEM
-    target (at least 1)."""
+    target (at least 1).  ``max_rows`` caps it — per-block dynamic bounds
+    are min/max over the block's rows, so smaller blocks track per-sample
+    converged lengths more tightly."""
     per_row = H * u_tile * 2 * Dh * itemsize
     g = max(1, int(_BLOCK_BYTES_TARGET // max(1, per_row)))
     g = min(g, R)
+    if max_rows is not None:
+        g = min(g, max_rows)
     while R % g:
         g -= 1
     return g
 
 
-def _kernel(lo_ref, q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
+def _kernel(b_ref, q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
             int8: bool = False, carry_in: bool = False,
             carry_out: bool = False):
     """One (row-block, u-tile) grid step.
 
-    lo_ref:   [1] int32 scalar-prefetch — first u-tile of the valid range
-              (grid step ``u`` reads physical tile ``u + lo_ref[0]``; the
-              index maps apply the offset, the kernel body never sees it)
+    b_ref:    [2*NB] int32 scalar-prefetch — per-row-block tile bounds:
+              ``b[r]`` = first tile, ``b[NB+r]`` = one-past-last tile of
+              block ``r``'s valid range.  Grid step ``u`` of block ``r``
+              reads physical tile ``min(b[r]+u, b[NB+r]-1)`` (the index
+              maps apply this), so steps beyond the block's range repeat
+              the last tile — Mosaic elides the DMA for an unchanged block
+              index — and skip their compute via ``pl.when``.  This gives
+              PER-BLOCK dynamic ranges under one global (dynamic) grid:
+              each block streams only its own valid tiles even when blocks'
+              converged prefixes differ (consolidated beam decode).
     q_ref:    [G, H, K, 2*Dh] (query zero-padded over the V half)
     kv_ref:   [G, H, UT, 2*Dh] interleaved cache tile (bf16/f32, or int8
               rows when ``int8`` — then ``rest`` leads with the per-slot
@@ -139,10 +151,12 @@ def _kernel(lo_ref, q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
         mo_ref, lo_out_ref, acco_ref, m_ref, l_ref, acc_ref = rest
     else:
         out_ref, m_ref, l_ref, acc_ref = rest
+    r = pl.program_id(0)
     u = pl.program_id(1)
     n_u = pl.num_programs(1)
+    nb = pl.num_programs(0)
+    active = u < b_ref[nb + r] - b_ref[r]
     G, H, K, _ = q_ref.shape
-    mask_tile = mask_ref[:, 0]                           # [Gm, K, UT]
 
     @pl.when(u == 0)
     def _init():
@@ -155,42 +169,46 @@ def _kernel(lo_ref, q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
             l_ref[:] = jnp.zeros(l_ref.shape, l_ref.dtype)
             acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    UT = kv_ref.shape[2]
-    # Merge the leading (G, H) dims: layout-free (tiling is on the last two
-    # dims) and Mosaic's matmul supports at most ONE batch dim.
-    q = q_ref[:].reshape(G * H, K, 2 * Dh)
-    kv = kv_ref[:].reshape(G * H, UT, 2 * Dh)
-    if int8:
-        kv = kv.astype(q_ref.dtype)
+    @pl.when(active)
+    def _accumulate():
+        mask_tile = mask_ref[:, 0]                       # [Gm, K, UT]
+        UT = kv_ref.shape[2]
+        # Merge the leading (G, H) dims: layout-free (tiling is on the last
+        # two dims) and Mosaic's matmul supports at most ONE batch dim.
+        q = q_ref[:].reshape(G * H, K, 2 * Dh)
+        kv = kv_ref[:].reshape(G * H, UT, 2 * Dh)
+        if int8:
+            kv = kv.astype(q_ref.dtype)
 
-    # [G*H, K, UT] fp32: batch dim (gh), contract the full 128 lanes.
-    logits = jax.lax.dot_general(
-        q, kv, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    logits = logits.reshape(G, H, K, UT)
-    if int8:
-        logits = logits * sk_ref[:, 0][:, :, None, :]    # sk: [G,H,UT]
-    logits = logits + mask_tile[:, None]
+        # [G*H, K, UT] fp32: batch dim (gh), contract the full 128 lanes.
+        logits = jax.lax.dot_general(
+            q, kv, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        logits = logits.reshape(G, H, K, UT)
+        if int8:
+            logits = logits * sk_ref[:, 0][:, :, None, :]  # sk: [G,H,UT]
+        logits = logits + mask_tile[:, None]
 
-    # Online softmax (flash recurrence), fp32.  Masks use the finite
-    # NEG_INF (-1e9), so max(logits) is always finite; the -inf init makes
-    # the first tile's alpha exp(-inf - finite) = 0 with no special cases.
-    m_old = m_ref[:]
-    m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1))
-    alpha = jnp.exp(m_old - m_new)
-    w = jnp.exp(logits - m_new[..., None])      # [G, H, K, UT]
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(w, axis=-1)
-    m_ref[:] = m_new
+        # Online softmax (flash recurrence), fp32.  Masks use the finite
+        # NEG_INF (-1e9), so max(logits) is always finite; the -inf init
+        # makes the first tile's alpha exp(-inf - finite) = 0 with no
+        # special cases.
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_old - m_new)
+        w = jnp.exp(logits - m_new[..., None])      # [G, H, K, UT]
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(w, axis=-1)
+        m_ref[:] = m_new
 
-    if int8:
-        w = w * sv_ref[:, 0][:, :, None, :]
-    wv = jax.lax.dot_general(
-        w.reshape(G * H, K, UT).astype(q_ref.dtype), kv,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).reshape(G, H, K, 2 * Dh)
-    acc_ref[:] = acc_ref[:] * alpha[..., None] + wv
+        if int8:
+            w = w * sv_ref[:, 0][:, :, None, :]
+        wv = jax.lax.dot_general(
+            w.reshape(G * H, K, UT).astype(q_ref.dtype), kv,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(G, H, K, 2 * Dh)
+        acc_ref[:] = acc_ref[:] * alpha[..., None] + wv
 
     @pl.when(u == n_u - 1)
     def _finish():
@@ -204,34 +222,47 @@ def _kernel(lo_ref, q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
 
 
 @functools.partial(jax.jit, static_argnames=("u_tile", "interpret",
-                                             "carry_out"))
-def _flash_call(q_pad: Array, kv: Array, mask: Array, n_u: Array,
-                u_tile: int, interpret: bool, scales=None,
-                lo: Array | None = None, carry=None,
-                carry_out: bool = False):
+                                             "carry_out", "max_block_rows"))
+def _flash_call(q_pad: Array, kv: Array, mask: Array,
+                lo_t: Array, hi_t: Array,
+                u_tile: int, interpret: bool, scales=None, carry=None,
+                carry_out: bool = False, max_block_rows: int | None = None):
+    """``lo_t``/``hi_t``: per-GROUP first / one-past-last valid u-tile
+    ([R] int32).  Blocks of G groups share bounds (min lo, max hi) — the
+    per-group masks keep exactness; the per-block bounds keep the DMA
+    stream proportional to each block's own valid range."""
     R, H, K, Dh2 = q_pad.shape
     Dh = Dh2 // 2
     Rm = mask.shape[0]
     scale = 1.0 / np.sqrt(Dh)
-    G = _row_block(R, H, u_tile, Dh, kv.dtype.itemsize)
+    G = _row_block(R, H, u_tile, Dh, kv.dtype.itemsize, max_block_rows)
     int8 = scales is not None
 
     n_tiles = kv.shape[2] // u_tile
-    # Scalar-prefetch tile offset: grid step u reads physical tile
-    # u + lo (index maps receive the prefetched ref as a trailing arg).
-    lo_arr = (jnp.zeros((1,), jnp.int32) if lo is None
-              else jnp.asarray(lo, jnp.int32).reshape(1))
+    nb = R // G
+    lo_b = jnp.min(lo_t.reshape(nb, G), axis=1)
+    hi_b = jnp.max(hi_t.reshape(nb, G), axis=1)
+    hi_b = jnp.maximum(hi_b, lo_b + 1)
+    n_u = jnp.max(hi_b - lo_b)
+    # Scalar-prefetch bounds [2*nb]: b[r] = lo, b[nb+r] = hi for block r.
+    # Grid step u of block r reads physical tile min(lo+u, hi-1): steps
+    # past the range repeat the last tile (DMA elided) and skip compute.
+    b_arr = jnp.concatenate([lo_b, hi_b]).astype(jnp.int32)
+
+    def tile_ix(r, u, b):
+        return jnp.minimum(b[r] + u, b[nb + r] - 1)
+
     in_specs = [
-        pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u, lo_r: (r, 0, 0, 0),
+        pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u, b: (r, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((G, H, u_tile, 2 * Dh),
-                     lambda r, u, lo_r: (r, 0, u + lo_r[0], 0),
+                     lambda r, u, b: (r, 0, tile_ix(r, u, b), 0),
                      memory_space=pltpu.VMEM),
         # Tile-major mask [Rm, n_tiles, K, UT]: the last two block dims
         # span the array, satisfying Mosaic's tiling rule for any UT.
         pl.BlockSpec((G if Rm > 1 else 1, 1, K, u_tile),
-                     (lambda r, u, lo_r: (r, u + lo_r[0], 0, 0)) if Rm > 1
-                     else (lambda r, u, lo_r: (0, u + lo_r[0], 0, 0)),
+                     (lambda r, u, b: (r, tile_ix(r, u, b), 0, 0)) if Rm > 1
+                     else (lambda r, u, b: (0, tile_ix(r, u, b), 0, 0)),
                      memory_space=pltpu.VMEM),
     ]
     mask4 = mask.reshape(Rm, K, n_tiles, u_tile).transpose(0, 2, 1, 3)
@@ -239,17 +270,17 @@ def _flash_call(q_pad: Array, kv: Array, mask: Array, n_u: Array,
     if int8:
         for s in scales:
             in_specs.append(pl.BlockSpec((G, 1, H, u_tile),
-                                         lambda r, u, lo_r: (r, u + lo_r[0], 0, 0),
+                                         lambda r, u, b: (r, tile_ix(r, u, b), 0, 0),
                                          memory_space=pltpu.VMEM))
             operands.append(
                 s.reshape(R, H, n_tiles, u_tile).transpose(0, 2, 1, 3))
     if carry is not None:
         part_specs = [
-            pl.BlockSpec((G, H, K), lambda r, u, lo_r: (r, 0, 0),
+            pl.BlockSpec((G, H, K), lambda r, u, b: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H, K), lambda r, u, lo_r: (r, 0, 0),
+            pl.BlockSpec((G, H, K), lambda r, u, b: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u, lo_r: (r, 0, 0, 0),
+            pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u, b: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         in_specs.extend(part_specs)
@@ -257,11 +288,11 @@ def _flash_call(q_pad: Array, kv: Array, mask: Array, n_u: Array,
 
     if carry_out:
         out_specs = [
-            pl.BlockSpec((G, H, K), lambda r, u, lo_r: (r, 0, 0),
+            pl.BlockSpec((G, H, K), lambda r, u, b: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H, K), lambda r, u, lo_r: (r, 0, 0),
+            pl.BlockSpec((G, H, K), lambda r, u, b: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u, lo_r: (r, 0, 0, 0),
+            pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u, b: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape = [
@@ -270,13 +301,13 @@ def _flash_call(q_pad: Array, kv: Array, mask: Array, n_u: Array,
             jax.ShapeDtypeStruct((R, H, K, 2 * Dh), jnp.float32),
         ]
     else:
-        out_specs = pl.BlockSpec((G, H, K, Dh), lambda r, u, lo_r: (r, 0, 0, 0),
+        out_specs = pl.BlockSpec((G, H, K, Dh), lambda r, u, b: (r, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((R, H, K, Dh), q_pad.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(R // G, n_u),
+        grid=(nb, n_u),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
@@ -291,7 +322,7 @@ def _flash_call(q_pad: Array, kv: Array, mask: Array, n_u: Array,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(lo_arr, *operands)
+    )(b_arr, *operands)
 
 
 def flash_decode(q: Array, kv: Array, mask: Array,
@@ -300,7 +331,9 @@ def flash_decode(q: Array, kv: Array, mask: Array,
                  scales=None,
                  u_lo: Array | int | None = None,
                  carry=None,
-                 return_carry: bool = False):
+                 return_carry: bool = False,
+                 u_tile: int | None = None,
+                 max_block_rows: int | None = None):
     """One decode step of masked attention over an interleaved KV cache.
 
     q:    [R, H, K, Dh]   — this step's queries (K beams per group; K=1 for
@@ -311,22 +344,26 @@ def flash_decode(q: Array, kv: Array, mask: Array,
                             rows (see ``scales``).
     mask: [Rm, K, U] fp32 additive (0 = visible, -inf/NEG_INF = hidden),
           Rm ∈ {1, R} (1 broadcasts across rows — the plain causal case).
-    u_valid: slots written so far (traced scalar OK) — the kernel contracts
-          only ``ceil(u_valid / U_TILE)`` tiles.  Slots of the last partial
-          tile beyond ``u_valid`` MUST be masked by ``mask`` (the causal /
-          ancestry masks guarantee this).  ``None`` → the full buffer.
+    u_valid: slots written so far (traced scalar, or a per-group [R]
+          vector) — the kernel contracts only ``ceil(u_valid / U_TILE)``
+          tiles (per row-block: the max over its groups).  Slots of the
+          last partial tile beyond ``u_valid`` MUST be masked by ``mask``
+          (the causal / ancestry masks guarantee this).  ``None`` → the
+          full buffer.
     scales: for an int8 ``kv``: ``(sk, sv)`` per-(slot, head) fp32 absmax
           scales, each ``[R, H, U]`` (``models/gpt2.py::_quantize_kv``).
           Halves the cache MEMORY; measured slightly slower than bf16 on
           v5e (the in-kernel widening outweighs the DMA saving — the
           kernel is pipeline-bound, not byte-bound), so it is an opt-in
           for memory-constrained serving, not a throughput knob.
-    u_lo: first valid slot (traced scalar OK) — the contraction starts at
-          tile ``u_lo // U_TILE``.  Slots of that tile BELOW ``u_lo`` must
-          be masked by ``mask`` (the consolidated-region exclusion in the
-          beam mask guarantees this).  Used by two-phase consolidated-beam
-          attention to skip the region already served by the shared prefix
-          (``models/gpt2.py``).
+    u_lo: first valid slot (traced scalar or per-group [R] vector) — the
+          contraction starts at tile ``u_lo // U_TILE`` (per row-block:
+          the min over its groups).  Slots of that tile BELOW ``u_lo``
+          must be masked by ``mask`` (the consolidated-region exclusion in
+          the beam mask guarantees this).  Used by two-phase
+          consolidated-beam attention to skip the region already served by
+          the shared prefix (``models/gpt2.py``); per-group values let each
+          sample's own converged length bound its stream.
     carry: ``(m, l, acc)`` online-softmax partials from an earlier phase
           ([R,H,K], [R,H,K], [R,H,K,2*Dh] f32) — this call's recurrence
           resumes from them instead of (-inf, 0, 0).
@@ -339,22 +376,27 @@ def flash_decode(q: Array, kv: Array, mask: Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    u_tile = _pick_u_tile(U)
+    if u_tile is None or U % u_tile or u_tile % _SUBLANE:
+        u_tile = _pick_u_tile(U)
+    max_t = U // u_tile
     if u_valid is None:
-        hi = jnp.int32(U // u_tile)
+        hi = jnp.full((R,), max_t, jnp.int32)
     else:
         hi = jnp.clip(pl.cdiv(jnp.asarray(u_valid, jnp.int32), u_tile),
-                      1, U // u_tile)
+                      1, max_t)
+        hi = jnp.broadcast_to(hi, (R,)) if hi.ndim == 0 else hi
     if u_lo is None:
-        lo, n_u = None, hi
+        lo = jnp.zeros((R,), jnp.int32)
     else:
-        lo = jnp.clip(jnp.asarray(u_lo, jnp.int32) // u_tile, 0, hi - 1)
-        n_u = hi - lo
+        lo = jnp.asarray(u_lo, jnp.int32) // u_tile
+        lo = jnp.broadcast_to(lo, (R,)) if lo.ndim == 0 else lo
+        lo = jnp.clip(lo, 0, hi - 1)
 
     # Zero-pad q over the V half so the kernel can use the interleaved
     # cache tile unsliced (see _kernel docstring).  q is tiny.
     q_pad = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
     Rm = mask.shape[0]
     mask = mask if Rm > 1 else jnp.broadcast_to(mask, (1, K, U))
-    return _flash_call(q_pad, kv, mask, n_u, u_tile, interpret, scales=scales,
-                       lo=lo, carry=carry, carry_out=return_carry)
+    return _flash_call(q_pad, kv, mask, lo, hi, u_tile, interpret,
+                       scales=scales, carry=carry, carry_out=return_carry,
+                       max_block_rows=max_block_rows)
