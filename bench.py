@@ -7,7 +7,8 @@ captions/sec/chip on the transformer-mapper + GPT-2 config.
 Two configurations are measured (both through the public library surface):
 
 * headline — GPT-2 (small) at batch 128, the throughput-serving shape;
-* ``gpt2_xl`` — GPT-2-XL at batch 96, the reference's DEFAULT language
+* ``gpt2_xl`` — GPT-2-XL at batch 88 (override: CLIPCAP_BENCH_XL_BATCH),
+  the reference's DEFAULT language
   model (/root/reference/clipcap/model/args.py ``--language-model``), i.e.
   the honest flagship config.  Skippable with CLIPCAP_BENCH_SKIP_XL=1
   (first compile of the xl program takes minutes; it is cached after).
@@ -95,6 +96,37 @@ def _measure_beam(lm_name: str, batch: int, prefix_length: int = 10,
     return max(per_trial), per_trial
 
 
+BASELINE_EMBEDS_PER_SEC = 10_000.0  # BASELINE.json north star, ViT-B/32
+
+
+def _measure_embeds(batch: int = 256, rounds: int = 4, trials: int = TRIALS):
+    """ViT-B/32 image embeds/s (the second north star) — driver-tracked here
+    so regressions show in BENCH_r*.json, not only docs."""
+    from clipcap_tpu.models.clip_vit import clip_encode_image, get_clip_config, init_clip
+
+    cfg = get_clip_config("ViT-B/32")
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), init_clip(cfg, seed=0))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random(size=(batch, 224, 224, 3)), jnp.float32)
+
+    fwd = jax.jit(lambda p, x: clip_encode_image(p["visual"], cfg.vision, x,
+                                                 dtype=jnp.bfloat16))
+    float(jnp.sum(fwd(params, images)[:, :1]))  # warmup/compile + sync
+
+    per_trial = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for i in range(rounds):
+            r = fwd(params, images + i * 1e-4)
+        float(jnp.sum(r[:, :1]))
+        dt = time.perf_counter() - t0
+        eps = batch * rounds / dt
+        per_trial.append(round(eps, 1))
+        print(f"ViT-B/32 b{batch} trial: {eps:.0f} embeds/s", file=sys.stderr)
+    return max(per_trial), per_trial
+
+
 def main() -> None:
     best, trials = _measure_beam("gpt2", batch=128)
 
@@ -106,15 +138,28 @@ def main() -> None:
         "trials": trials,
     }
 
+    emb_best, emb_trials = _measure_embeds()
+    out["embeds"] = {
+        "value": round(emb_best, 1),
+        "unit": "embeds/s",
+        "model": "ViT-B/32",
+        "batch": 256,
+        "vs_baseline": round(emb_best / BASELINE_EMBEDS_PER_SEC, 3),
+        "trials": emb_trials,
+    }
+
     if os.environ.get("CLIPCAP_BENCH_SKIP_XL", "0") != "1":
-        # The reference's default LM (gpt2-xl): batch 96 is the largest
-        # beam-5 batch that fits 16 GB HBM alongside bf16 weights (the
-        # 16-slot cache quantum leaves room the 128-quantum layout didn't).
-        xl_best, xl_trials = _measure_beam("gpt2-xl", batch=96, rounds=1)
+        # The reference's default LM (gpt2-xl): batch 88 is the largest
+        # beam-5 batch that fits 16 GB HBM alongside bf16 weights and the
+        # consolidated shared-prefix cache (96 fit before consolidation;
+        # the shared buffer costs ~1/K of the live cache and buys back far
+        # more in step time).
+        xl_batch = int(os.environ.get("CLIPCAP_BENCH_XL_BATCH", 88))
+        xl_best, xl_trials = _measure_beam("gpt2-xl", batch=xl_batch, rounds=1)
         out["gpt2_xl"] = {
             "value": round(xl_best, 3),
             "unit": "captions/s",
-            "batch": 96,
+            "batch": xl_batch,
             "vs_baseline": round(xl_best / BASELINE_CAPTIONS_PER_SEC, 3),
             "trials": xl_trials,
         }

@@ -52,4 +52,6 @@ def add_eval_args(parser: ArgumentParser) -> ArgumentParser:
              "encoder->mapper->decode chain runs batched; the reference "
              "evaluates one sample at a time).",
     )
+    # NB --mesh-data comes from add_inference_args (the eval CLI composes
+    # both groups; defining it here too would collide).
     return parser

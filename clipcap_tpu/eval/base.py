@@ -92,6 +92,13 @@ def generate_predictions(args: Namespace) -> dict:
     )
 
     gen_dtype = jnp.bfloat16 if getattr(args, "fp_precision", 32) == 16 else jnp.float32
+    from clipcap_tpu.inference.serving import decode_sharded, maybe_serving_mesh
+
+    mesh = maybe_serving_mesh(args)
+    if mesh is not None and (eb * n_gen) % mesh.shape["data"]:
+        raise ValueError(
+            f"--eval-batch-size*{n_gen} candidates ({eb * n_gen}) must "
+            f"divide --mesh-data {mesh.shape['data']}")
     dataset = EvalDataset(safe_processor, args.sample_path)
     predictions = {}
     names, samples = [], []
@@ -107,8 +114,13 @@ def generate_predictions(args: Namespace) -> dict:
         features = encode_method(batch)
         prefix = model.transformer_mapper(jnp.asarray(features))
         tiled = jnp.repeat(prefix, n_gen, axis=0)          # [eb·n, P, D]
-        result = decode(model.params["lm"], model.lm_config, tiled,
-                        jax.random.PRNGKey(args.seed), sp, dtype=gen_dtype)
+        if mesh is not None:
+            result = decode_sharded(model.params["lm"], model.lm_config,
+                                    tiled, jax.random.PRNGKey(args.seed),
+                                    sp, mesh, gen_dtype)
+        else:
+            result = decode(model.params["lm"], model.lm_config, tiled,
+                            jax.random.PRNGKey(args.seed), sp, dtype=gen_dtype)
         all_caps = []
         for i in range(len(names)):
             row = type(result)(tokens=result.tokens[i * n_gen:(i + 1) * n_gen],

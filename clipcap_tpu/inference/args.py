@@ -61,4 +61,9 @@ def add_inference_args(parser: ArgumentParser) -> ArgumentParser:
              "halves the decode cache's HBM footprint (measured slightly "
              "slower than bf16 on v5e; a memory knob, not a throughput "
              "knob). Off by default for parity.")
+    inference.add_argument(
+        "--mesh-data", type=int, default=0,
+        help="Shard serving over N devices (data-parallel mesh: params "
+             "replicated, candidate/sample batch split — "
+             "inference/serving.py). 0/1 = single device.")
     return parser

@@ -113,6 +113,7 @@ def generate_nucleus_sampling(
     int8_kv: bool = False,
     dtype=jnp.float32,
     precision=None,
+    mesh=None,
 ) -> List[str]:
     stop_token = tokenizer.encode(".")[0]
     embeds = _prep_embeds(model, embeds, text_prefix_tokens, dtype)
@@ -130,8 +131,16 @@ def generate_nucleus_sampling(
         stop_token=stop_token, include_stop_token=True, mode="nucleus",
         int8_kv=int8_kv,
     )
-    result = decode(model.params["lm"], model.lm_config, tiled,
-                    jax.random.PRNGKey(seed), sp, dtype=dtype, precision=precision)
+    if mesh is not None:
+        from clipcap_tpu.inference.serving import decode_sharded
+
+        result = decode_sharded(model.params["lm"], model.lm_config, tiled,
+                                jax.random.PRNGKey(seed), sp, mesh, dtype,
+                                precision=precision)
+    else:
+        result = decode(model.params["lm"], model.lm_config, tiled,
+                        jax.random.PRNGKey(seed), sp, dtype=dtype,
+                        precision=precision)
     return _decode_texts(tokenizer, prefix_ids, result)
 
 

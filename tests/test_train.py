@@ -342,3 +342,43 @@ def test_optimizer_trajectory_matches_torch_reference():
                                    atol=2e-6, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(params["b"]), torch_traj[i][1],
                                    atol=2e-6, rtol=1e-5)
+
+
+def test_sharded_decode_serving_matches_unsharded():
+    """The --mesh-data serving path (inference/serving.py): data-sharded
+    sampling decode over the 8-device mesh must be result-identical to the
+    single-device engine, and the CLI arg helper must resolve the mesh."""
+    import argparse
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.inference.engine import SamplingParams, decode
+    from clipcap_tpu.inference.serving import decode_sharded, maybe_serving_mesh
+    from clipcap_tpu.models.gpt2 import GPT2Config, init_gpt2
+
+    cfg = GPT2Config(vocab_size=211, n_positions=64, n_embd=32, n_layer=2,
+                     n_head=4, name="t")
+    params = init_gpt2(cfg)
+    rng = np.random.default_rng(1)
+    prefix = jnp.asarray(rng.normal(size=(16, 4, 32)) * 0.02, jnp.float32)
+    sp = SamplingParams(max_new_tokens=8, mode="greedy", stop_token=5)
+
+    ref = decode(params, cfg, prefix, jax.random.PRNGKey(0), sp,
+                 dtype=jnp.float32)
+
+    mesh = maybe_serving_mesh(argparse.Namespace(mesh_data=8))
+    assert mesh is not None and mesh.shape["data"] == 8
+    got = decode_sharded(params, cfg, prefix, jax.random.PRNGKey(0), sp,
+                         mesh, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.lengths), np.asarray(got.lengths))
+
+    # Indivisible batches are rejected loudly.
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_sharded(params, cfg, prefix[:6], jax.random.PRNGKey(0), sp,
+                       mesh, jnp.float32)
+    assert maybe_serving_mesh(argparse.Namespace(mesh_data=0)) is None
