@@ -7,7 +7,7 @@ captions/sec/chip on the transformer-mapper + GPT-2 config.
 Two configurations are measured (both through the public library surface):
 
 * headline — GPT-2 (small) at batch 128, the throughput-serving shape;
-* ``gpt2_xl`` — GPT-2-XL at batch 88 (override: CLIPCAP_BENCH_XL_BATCH),
+* ``gpt2_xl`` — GPT-2-XL at batch 96 (override: CLIPCAP_BENCH_XL_BATCH),
   the reference's DEFAULT language
   model (/root/reference/clipcap/model/args.py ``--language-model``), i.e.
   the honest flagship config.  Skippable with CLIPCAP_BENCH_SKIP_XL=1
@@ -149,12 +149,12 @@ def main() -> None:
     }
 
     if os.environ.get("CLIPCAP_BENCH_SKIP_XL", "0") != "1":
-        # The reference's default LM (gpt2-xl): batch 88 is the largest
-        # beam-5 batch that fits 16 GB HBM alongside bf16 weights and the
-        # consolidated shared-prefix cache (96 fit before consolidation;
-        # the shared buffer costs ~1/K of the live cache and buys back far
-        # more in step time).
-        xl_batch = int(os.environ.get("CLIPCAP_BENCH_XL_BATCH", 88))
+        # The reference's default LM (gpt2-xl): batch 96 is the largest
+        # beam-5 batch that fits 16 GB HBM alongside bf16 weights with
+        # consolidation off (its shared-prefix cache would cost ~1/K of
+        # the live cache again, capping the batch at 88 — and measured
+        # slower per step anyway; see BeamParams.consolidate_every).
+        xl_batch = int(os.environ.get("CLIPCAP_BENCH_XL_BATCH", 96))
         xl_best, xl_trials = _measure_beam("gpt2-xl", batch=xl_batch, rounds=1)
         out["gpt2_xl"] = {
             "value": round(xl_best, 3),

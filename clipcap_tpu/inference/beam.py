@@ -62,12 +62,16 @@ class BeamParams:
     int8_kv: bool = False
     # Consolidate the converged beam prefix into a 1-slot-per-position
     # shared cache every this many steps (0 disables).  Surviving beams
-    # share ancestors, so old positions collapse from K cache slots to 1 —
-    # decode attention is cache-stream bound, so the consolidated region
-    # costs ~1/K as much per step.  Results are identical up to fp
-    # summation order (the excluded duplicate slots contributed exactly 0
-    # through the NEG_INF mask).
-    consolidate_every: int = 8
+    # share ancestors, so old positions collapse from K cache slots to 1.
+    # Results are identical up to fp summation order (the excluded
+    # duplicate slots contributed exactly 0 through the NEG_INF mask).
+    # OFF by default: on v5e the decode-attention kernel is compute/
+    # overhead-bound, not cache-stream-bound, so the byte saving does not
+    # pay for the two-phase kernel's extra tiles + per-block bound
+    # widening — every measured cadence/tile config (C∈{4,8,16,32},
+    # shared tile 16/48/80, fused single-kernel form) lost 5-20% vs C=0
+    # on both gpt2 and gpt2-xl (docs/performance.md).
+    consolidate_every: int = 0
 
 
 class BeamResult(NamedTuple):

@@ -506,29 +506,36 @@ def _cached_block(
             if sh_int8:
                 shared, ssk, ssv = shared
             if flash:
-                from clipcap_tpu.ops.flash_decode import flash_decode
-
-                carry = None
-                u_lo = None
                 if shared is not None:
-                    import os as _os
+                    # Fused two-phase kernel: shared-prefix tiles then live
+                    # tiles under ONE pallas_call — the online-softmax
+                    # partials stay in VMEM scratch across the phases.  The
+                    # composed two-call form (``carry=``/``return_carry=``)
+                    # moved the [R,H,K,2*Dh] fp32 partials through HBM per
+                    # layer per step, which MEASURED as a net loss vs no
+                    # consolidation at all on v5e.
+                    from clipcap_tpu.ops.flash_decode import (
+                        flash_decode_two_phase,
+                    )
 
-                    # Small tiles + small row blocks: the per-block tile
-                    # bound tracks each sample's own converged length c_r,
-                    # so the shared stream is ~c_r slots, not the buffer.
-                    carry = flash_decode(
-                        q1, shared, shared_mask, u_valid=shared_len,
-                        scales=(ssk, ssv) if sh_int8 else None,
-                        return_carry=True,
-                        u_tile=int(_os.environ.get(
-                            "CLIPCAP_FLASH_SHARED_TILE", 16)),
-                        max_block_rows=int(_os.environ.get(
-                            "CLIPCAP_FLASH_SHARED_ROWS", 4)))
-                    u_lo = (shared_len - cache_base) * K
-                attn = flash_decode(q1, ckv, ancestry,
-                                    u_valid=(live_index + 1) * K,
-                                    scales=(csk, csv) if int8kv else None,
-                                    u_lo=u_lo, carry=carry)
+                    R = q1.shape[0]
+                    c_vec = jnp.broadcast_to(
+                        jnp.asarray(shared_len, jnp.int32), (R,))
+                    attn = flash_decode_two_phase(
+                        q1, shared, shared_mask, ckv, ancestry,
+                        sh_valid=c_vec,
+                        lv_lo=(c_vec - cache_base) * K,
+                        lv_valid=jnp.broadcast_to(
+                            (live_index + 1) * K, (R,)).astype(jnp.int32),
+                        shared_scales=(ssk, ssv) if sh_int8 else None,
+                        live_scales=(csk, csv) if int8kv else None,
+                    )
+                else:
+                    from clipcap_tpu.ops.flash_decode import flash_decode
+
+                    attn = flash_decode(
+                        q1, ckv, ancestry, u_valid=(live_index + 1) * K,
+                        scales=(csk, csv) if int8kv else None)
             else:
                 def deq(buf, sk, sv, is8):
                     if is8:

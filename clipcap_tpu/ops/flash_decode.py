@@ -63,11 +63,13 @@ _U_TILE = int(_os.environ.get("CLIPCAP_FLASH_U_TILE", 128))
 _SUBLANE = 16  # sublane tile of the (slots, lanes) trailing dims
 
 
-def _pick_u_tile(U: int) -> int:
-    """Largest sublane-aligned divisor of ``U`` that is ≤ ``_U_TILE``;
-    falls back to ``U`` itself (single tile) for unaligned tiny buffers."""
+def _pick_u_tile(U: int, cap: int | None = None) -> int:
+    """Largest sublane-aligned divisor of ``U`` that is ≤ ``cap``
+    (default ``_U_TILE``); falls back to ``U`` itself (single tile) for
+    unaligned tiny buffers."""
+    cap = _U_TILE if cap is None else cap
     best = 0
-    for t in range(_SUBLANE, min(_U_TILE, U) + 1, _SUBLANE):
+    for t in range(_SUBLANE, min(cap, U) + 1, _SUBLANE):
         if U % t == 0:
             best = t
     return best if best else U
@@ -399,4 +401,250 @@ def flash_decode(q: Array, kv: Array, mask: Array,
     mask = mask if Rm > 1 else jnp.broadcast_to(mask, (1, K, U))
     return _flash_call(q_pad, kv, mask, lo, hi, u_tile, interpret,
                        scales=scales, carry=carry, carry_out=return_carry,
+                       max_block_rows=max_block_rows)
+
+
+def _fused_kernel(b_ref, q_ref, skv_ref, smask_ref, lkv_ref, lmask_ref,
+                  *rest, scale: float, Dh: int, sh_int8: bool,
+                  lv_int8: bool):
+    """One (row-block, tile) step of the FUSED two-phase decode attention.
+
+    The grid's tile dimension walks the shared-prefix region's tiles first,
+    then the live beam region's tiles, for each row block; the online-
+    softmax partials live in VMEM scratch across both phases, so nothing
+    round-trips through HBM between them (the two-call ``carry`` form moved
+    the ``[R,H,K,2*Dh]`` fp32 ``acc`` out and back per layer per step —
+    measured as the dominant consolidation overhead on v5e).
+
+    b_ref: [3*NB] int32 scalar prefetch — per row block ``r``:
+      ``b[r]``      = number of valid shared tiles (phase A steps),
+      ``b[nb+r]``   = first valid live tile,
+      ``b[2nb+r]``  = number of valid live tiles.
+    Grid step ``u`` of block ``r``: shared tile ``min(u, b[r]-1)`` and live
+    tile ``b[nb+r] + clamp(u - b[r], 0, b[2nb+r]-1)`` — whichever phase
+    ``u`` is outside repeats its previous block index (DMA elided) and
+    contributes no compute (``pl.when``).  Blocks whose total tile count is
+    below the (max) grid bound idle at the tail the same way.
+    """
+    if sh_int8:
+        ssk_ref, ssv_ref, *rest = rest
+    if lv_int8:
+        lsk_ref, lsv_ref, *rest = rest
+    out_ref, m_ref, l_ref, acc_ref = rest
+    r = pl.program_id(0)
+    u = pl.program_id(1)
+    n_u = pl.num_programs(1)
+    nb = pl.num_programs(0)
+    sh_n = b_ref[r]
+    lv_n = b_ref[2 * nb + r]
+    G, H, K, _ = q_ref.shape
+
+    @pl.when(u == 0)
+    def _init():
+        m_ref[:] = jnp.full(m_ref.shape, -jnp.inf, m_ref.dtype)
+        l_ref[:] = jnp.zeros(l_ref.shape, l_ref.dtype)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    def _accumulate(kv_ref, mask_ref, sk_ref, sv_ref, int8):
+        mask_tile = mask_ref[:, 0]                       # [G, K, UT]
+        UT = kv_ref.shape[2]
+        q = q_ref[:].reshape(G * H, K, 2 * Dh)
+        kv = kv_ref[:].reshape(G * H, UT, 2 * Dh)
+        if int8:
+            kv = kv.astype(q_ref.dtype)
+        logits = jax.lax.dot_general(
+            q, kv, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        logits = logits.reshape(G, H, K, UT)
+        if int8:
+            logits = logits * sk_ref[:, 0][:, :, None, :]
+        logits = logits + mask_tile[:, None]
+
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_old - m_new)
+        w = jnp.exp(logits - m_new[..., None])
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(w, axis=-1)
+        m_ref[:] = m_new
+        if int8:
+            w = w * sv_ref[:, 0][:, :, None, :]
+        wv = jax.lax.dot_general(
+            w.reshape(G * H, K, UT).astype(q_ref.dtype), kv,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(G, H, K, 2 * Dh)
+        acc_ref[:] = acc_ref[:] * alpha[..., None] + wv
+
+    @pl.when(u < sh_n)
+    def _phase_shared():
+        _accumulate(skv_ref, smask_ref,
+                    ssk_ref if sh_int8 else None,
+                    ssv_ref if sh_int8 else None, sh_int8)
+
+    @pl.when(jnp.logical_and(u >= sh_n, u < sh_n + lv_n))
+    def _phase_live():
+        _accumulate(lkv_ref, lmask_ref,
+                    lsk_ref if lv_int8 else None,
+                    lsv_ref if lv_int8 else None, lv_int8)
+
+    @pl.when(u == n_u - 1)
+    def _finish():
+        denom = jnp.maximum(l_ref[:], 1e-30)[..., None]
+        out_ref[:] = (acc_ref[:] / denom)[..., Dh:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("ut_sh", "ut_lv", "interpret",
+                                             "max_block_rows"))
+def _fused_call(q_pad: Array, skv: Array, smask: Array, lkv: Array,
+                lmask: Array, sh_hi_t: Array, lv_lo_t: Array, lv_hi_t: Array,
+                ut_sh: int, ut_lv: int, interpret: bool,
+                sh_scales=None, lv_scales=None,
+                max_block_rows: int | None = None):
+    R, H, K, Dh2 = q_pad.shape
+    Dh = Dh2 // 2
+    scale = 1.0 / np.sqrt(Dh)
+    sh_int8 = sh_scales is not None
+    lv_int8 = lv_scales is not None
+    # One G for both operand streams: budget over the two tiles combined.
+    per_row = H * (ut_sh + ut_lv) * 2 * Dh * lkv.dtype.itemsize
+    g = max(1, int(_BLOCK_BYTES_TARGET // max(1, per_row)))
+    g = min(g, R, max_block_rows if max_block_rows else R)
+    while R % g:
+        g -= 1
+    G = g
+    nb = R // G
+
+    n_sh_tiles = skv.shape[2] // ut_sh
+    n_lv_tiles = lkv.shape[2] // ut_lv
+    sh_n = jnp.max(sh_hi_t.reshape(nb, G), axis=1)           # [nb]
+    lv_lo = jnp.min(lv_lo_t.reshape(nb, G), axis=1)
+    lv_hi = jnp.max(lv_hi_t.reshape(nb, G), axis=1)
+    lv_n = jnp.maximum(lv_hi - lv_lo, 1)
+    n_u = jnp.max(sh_n + lv_n)
+    b_arr = jnp.concatenate([sh_n, lv_lo, lv_n]).astype(jnp.int32)
+
+    def sh_ix(r, u, b):
+        return jnp.minimum(u, b[r] - 1)
+
+    def lv_ix(r, u, b):
+        rel = jnp.clip(u - b[r], 0, b[2 * nb + r] - 1)
+        return b[nb + r] + rel
+
+    in_specs = [
+        pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u, b: (r, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, H, ut_sh, 2 * Dh),
+                     lambda r, u, b: (r, 0, sh_ix(r, u, b), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 1, K, ut_sh),
+                     lambda r, u, b: (r, sh_ix(r, u, b), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, H, ut_lv, 2 * Dh),
+                     lambda r, u, b: (r, 0, lv_ix(r, u, b), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 1, K, ut_lv),
+                     lambda r, u, b: (r, lv_ix(r, u, b), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    smask4 = smask.reshape(R, K, n_sh_tiles, ut_sh).transpose(0, 2, 1, 3)
+    lmask4 = lmask.reshape(R, K, n_lv_tiles, ut_lv).transpose(0, 2, 1, 3)
+    operands = [q_pad, skv, smask4, lkv, lmask4]
+    for scales, ut, ix, n_t in ((sh_scales, ut_sh, sh_ix, n_sh_tiles),
+                                (lv_scales, ut_lv, lv_ix, n_lv_tiles)):
+        if scales is not None:
+            for s in scales:
+                in_specs.append(pl.BlockSpec(
+                    (G, 1, H, ut),
+                    (lambda r, u, b, _ix=ix: (r, _ix(r, u, b), 0, 0)),
+                    memory_space=pltpu.VMEM))
+                operands.append(
+                    s.reshape(R, H, n_t, ut).transpose(0, 2, 1, 3))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, n_u),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, H, K, Dh), lambda r, u, b: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((G, H, K), jnp.float32),
+            pltpu.VMEM((G, H, K), jnp.float32),
+            pltpu.VMEM((G, H, K, 2 * Dh), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, scale=scale, Dh=Dh,
+                          sh_int8=sh_int8, lv_int8=lv_int8),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, H, K, Dh), q_pad.dtype),
+        interpret=interpret,
+    )(b_arr, *operands)
+
+
+def flash_decode_two_phase(q: Array, shared: Array, shared_mask: Array,
+                           live: Array, live_mask: Array,
+                           sh_valid: Array, lv_lo: Array, lv_valid: Array,
+                           shared_scales=None, live_scales=None,
+                           ut_shared: int | None = None,
+                           ut_live: int | None = None,
+                           interpret: bool | None = None,
+                           max_block_rows: int | None = None) -> Array:
+    """Fused two-phase decode attention over a consolidated shared prefix
+    plus the live beam region — ONE kernel, ONE softmax.
+
+    q:           [R, H, K, Dh] this step's queries.
+    shared:      [R, H, Us, 2*Dh] consolidated cache (1 slot/position); may
+                 be int8 rows with ``shared_scales=(sk, sv)`` [R, H, Us].
+    shared_mask: [R, K, Us] fp32 additive — NEG_INF beyond each sample's
+                 consolidated length (and anywhere else to hide).
+    live:        [R, H, Ul, 2*Dh] time-major live beam cache; optionally
+                 int8 with ``live_scales``.
+    live_mask:   [R, K, Ul] fp32 additive (ancestry mask; must also hide
+                 the consolidated positions served by ``shared``).
+    sh_valid:    [R] int32 — consolidated slots valid per sample (tiles
+                 beyond are skipped; the mask covers sub-tile slop).
+    lv_lo:       [R] int32 — first live slot still served by the live
+                 region (the mask hides anything below inside its tile).
+    lv_valid:    [R] int32 — one-past-last written live slot.
+    → [R, H, K, Dh] in q's dtype.
+
+    Exactness: identical set of unmasked (position, row) contributions as
+    the composed two-call form; the online-softmax recurrence makes the
+    phase boundary invisible up to fp summation order.
+    """
+    R, H, K, Dh = q.shape
+    Us, Ul = shared.shape[2], live.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if ut_shared is None or Us % ut_shared or ut_shared % _SUBLANE:
+        ut_shared = _pick_u_tile(Us, cap=int(_os.environ.get(
+            "CLIPCAP_FLASH_SHARED_TILE", 32)))
+    if ut_live is None or Ul % ut_live or ut_live % _SUBLANE:
+        ut_live = _pick_u_tile(Ul, cap=int(_os.environ.get(
+            "CLIPCAP_FLASH_LIVE_TILE", 48)))
+
+    max_sh = Us // ut_shared
+    max_lv = Ul // ut_live
+    sh_hi_t = jnp.clip(pl.cdiv(jnp.asarray(sh_valid, jnp.int32), ut_shared),
+                       1, max_sh)
+    sh_hi_t = jnp.broadcast_to(sh_hi_t, (R,)) if sh_hi_t.ndim == 0 else sh_hi_t
+    lv_lo_t = jnp.clip(jnp.asarray(lv_lo, jnp.int32) // ut_live, 0, max_lv - 1)
+    lv_lo_t = jnp.broadcast_to(lv_lo_t, (R,)) if lv_lo_t.ndim == 0 else lv_lo_t
+    lv_hi_t = jnp.clip(pl.cdiv(jnp.asarray(lv_valid, jnp.int32), ut_live),
+                       1, max_lv)
+    lv_hi_t = jnp.broadcast_to(lv_hi_t, (R,)) if lv_hi_t.ndim == 0 else lv_hi_t
+    lv_lo_t = jnp.minimum(lv_lo_t, lv_hi_t - 1)
+
+    q_pad = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+    # Per-R masks (a leading 1 broadcasts — e.g. a scalar shared_len).
+    shared_mask = jnp.broadcast_to(shared_mask, (R, K, Us))
+    live_mask = jnp.broadcast_to(live_mask, (R, K, Ul))
+    if max_block_rows is None:
+        env = _os.environ.get("CLIPCAP_FLASH_FUSED_ROWS")
+        max_block_rows = int(env) if env else None
+    return _fused_call(q_pad, shared, shared_mask, live, live_mask,
+                       sh_hi_t, lv_lo_t, lv_hi_t, ut_shared, ut_live,
+                       interpret, sh_scales=shared_scales,
+                       lv_scales=live_scales,
                        max_block_rows=max_block_rows)

@@ -430,6 +430,52 @@ def test_flash_two_phase_carry_matches_single():
                                        err_msg=f"c={c} lv={live_valid}")
 
 
+def test_flash_two_phase_fused_heterogeneous_bounds():
+    """Direct fused-kernel contract: per-sample shared lengths, live lows
+    and live valid counts (all different across rows, exercising per-block
+    min/max bound widening + DMA-eliding repeats) must equal ONE
+    flash_decode over the concatenated context."""
+    import jax.numpy as jnp
+
+    from clipcap_tpu.models.gpt2 import NEG_INF
+    from clipcap_tpu.ops.flash_decode import (
+        flash_decode,
+        flash_decode_two_phase,
+    )
+
+    rng = np.random.default_rng(11)
+    R, H, K, Dh = 4, 3, 5, 16
+    Sc, U = 80, 160
+    q = jnp.asarray(rng.normal(size=(R, H, K, Dh)), jnp.float32)
+    shared = jnp.asarray(rng.normal(size=(R, H, Sc, 2 * Dh)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(R, H, U, 2 * Dh)), jnp.float32)
+
+    c = np.array([1, 17, 40, 79], np.int32)          # per-sample shared len
+    lv_lo = np.array([0, 30, 85, 100], np.int32)     # first live slot
+    lv_valid = np.array([64, 101, 160, 140], np.int32)
+
+    sh_mask = np.full((R, K, Sc), NEG_INF, np.float32)
+    live_mask = np.full((R, K, U), NEG_INF, np.float32)
+    for r in range(R):
+        sh_mask[r, :, : c[r]] = 0.0
+        live_mask[r, :, lv_lo[r]: lv_valid[r]] = 0.0
+        # a sprinkle of interior holes (ancestry-style)
+        holes = rng.integers(lv_lo[r], lv_valid[r], size=5)
+        live_mask[r, :, holes] = NEG_INF
+
+    for mbr in (None, 1, 2):
+        fused = flash_decode_two_phase(
+            q, shared, jnp.asarray(sh_mask), kv, jnp.asarray(live_mask),
+            sh_valid=jnp.asarray(c), lv_lo=jnp.asarray(lv_lo),
+            lv_valid=jnp.asarray(lv_valid), max_block_rows=mbr)
+        one = flash_decode(
+            q, jnp.concatenate([shared, kv], axis=2),
+            jnp.asarray(np.concatenate([sh_mask, live_mask], axis=2)))
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(one),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"max_block_rows={mbr}")
+
+
 def test_consolidated_beam_gpt2_apply_flash_matches_xla():
     """gpt2_apply with shared_kv/shared_len: the Pallas two-phase path must
     reproduce the XLA concat fallback, fp32, including int8 shared+live."""
