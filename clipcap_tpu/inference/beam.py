@@ -72,6 +72,14 @@ class BeamParams:
     # shared tile 16/48/80, fused single-kernel form) lost 5-20% vs C=0
     # on both gpt2 and gpt2-xl (docs/performance.md).
     consolidate_every: int = 0
+    # Store the prefix ONCE at the head of the beam cache (slots [0, P))
+    # instead of replicating it per beam: the prefix K/V is bitwise
+    # identical across beams, so one copy serves all K through the same
+    # single-kernel attention pass — the prefill runs once per sample
+    # (1/K the compute) and every decode step contracts P*(K-1) fewer
+    # slots.  Exact by construction; off reproduces the round-2
+    # replicated-prefix layout.
+    fold_prefix: bool = True
 
 
 class BeamResult(NamedTuple):
@@ -120,11 +128,32 @@ def beam_search_batched(
         logp0 = jax.nn.log_softmax(
             logits0.astype(jnp.float32) / t, axis=-1)            # [R, V]
         anc_len = N
+    elif bp.fold_prefix:
+        # Folded-prefix path (default): the prefix K/V is identical across
+        # beams, so store it ONCE at the head of the beam cache and
+        # prefill it with one beam_size-free forward over [R, P, D] —
+        # 1/K the prefill compute, and every decode step contracts
+        # P*(K-1) fewer slots through the same single kernel pass.
+        shared = None
+        cache = init_kv_cache(cfg, B, N, dtype=dtype, beam_size=K,
+                              int8=bp.int8_kv, prefix_slots=P)
+        hidden0, cache = gpt2_apply(
+            params, cfg, inputs_embeds=prefix_embeds.astype(dtype),
+            kv_cache=cache, cache_index=jnp.int32(0), dtype=dtype,
+            precision=precision, return_logits=False,
+        )
+        logits0 = jnp.dot(hidden0[:, -1],
+                          params["wte"].T.astype(hidden0.dtype),
+                          precision=precision)
+        logp0 = jax.nn.log_softmax(
+            logits0.astype(jnp.float32) / t, axis=-1)            # [R, V]
+        anc_len = N
     else:
-        # Reference single-loop path: prefill all K rows per sample with
-        # the (identical) prefix.  Redundant compute once, but it leaves
-        # every row with its own valid prefix K/V so the ancestry table can
-        # start as "own row" everywhere.
+        # Round-2 replicated-prefix path: prefill all K rows per sample
+        # with the (identical) prefix.  Redundant compute once, but it
+        # leaves every row with its own valid prefix K/V so the ancestry
+        # table can start as "own row" everywhere.  Kept as the parity
+        # anchor for the folded layout (tests/test_decode.py).
         shared = None
         pe = jnp.repeat(prefix_embeds.astype(dtype), K, axis=0)  # [B, P, D]
         cache = init_kv_cache(cfg, B, total, dtype=dtype, beam_size=K,
@@ -153,7 +182,7 @@ def beam_search_batched(
     # Ancestry indexes absolute positions (C=0) or generated positions
     # t - P (consolidated mode, matching the live cache's base-P slots).
     ancestry = jnp.broadcast_to(own_row, (B, anc_len))       # own row everywhere
-    base = P if C > 0 else 0
+    base = P if (C > 0 or bp.fold_prefix) else 0
 
     def cond(state):
         step = state[0]

@@ -141,8 +141,25 @@ def _round_up(n: int, m: int) -> int:
 CACHE_SLOT_QUANTUM = 16
 
 
+def _beam_cache_slots(n: int, quantum: int) -> int:
+    """Slot count for a beam cache: ``n`` rounded up to ``quantum``, then —
+    when that padding only admits a tiny flash u-tile (< 64 slots; more
+    grid steps per pass) — to the next multiple of 128, which always
+    divides into 128-slot tiles.  The padding is never written and always
+    masked; the byte cost is at most 112 slots."""
+    s = _round_up(n, quantum)
+    best = 0
+    for t in range(16, min(128, s) + 1, 16):
+        if s % t == 0:
+            best = t
+    if best < 64:
+        s = _round_up(n, 128)
+    return s
+
+
 def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
-                  beam_size: Optional[int] = None, int8: bool = False):
+                  beam_size: Optional[int] = None, int8: bool = False,
+                  prefix_slots: int = 0):
     """Preallocated fixed-shape KV cache, K and V **interleaved**.
 
     One buffer per layer, ``[batch, n_head, slots, 2*head_dim]`` — K in
@@ -174,6 +191,16 @@ def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
     cost a full cache transpose per layer per step — measured 12x step-time
     blowup).
 
+    With ``prefix_slots`` P > 0 (beam mode only), the buffer is a **folded
+    prefix** cache: slots ``[0, P)`` hold the sample's prefix K/V ONCE
+    (written by a beam_size-free prefill over ``[R, P, D]`` inputs), and
+    the time-major live region starts at slot P — position ``t >= P``,
+    row ``kb`` lives at ``P + (t-P)*K + kb``.  The prefix K/V is bitwise
+    identical across beams by construction, so one copy serves all K:
+    every decode step contracts ``P*(K-1)`` fewer slots and the buffer is
+    ``P*(K-1)`` slots smaller than replicating it (the decode step is
+    slot-count-bound — docs/performance.md).
+
     ``slots`` is ``max_len`` (or ``beam_size*max_len``) rounded up to
     ``CACHE_SLOT_QUANTUM`` so the kernel's u-tiles divide the buffer; the
     padding is never written and the causal masks hide it.
@@ -181,7 +208,11 @@ def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
     # int8 rows pack (32, 128) tiles — round their slots to the u-tile
     # maximum so the kernel's 128-slot tiles stay packing-aligned.
     quantum = 128 if int8 else CACHE_SLOT_QUANTUM
-    if beam_size is not None:
+    if prefix_slots:
+        assert beam_size is not None, "prefix_slots requires beam mode"
+        slots = _beam_cache_slots(prefix_slots + beam_size * max_len, quantum)
+        shape = (batch // beam_size, cfg.n_head, slots, 2 * cfg.head_dim)
+    elif beam_size is not None:
         slots = _round_up(beam_size * max_len, quantum)
         shape = (batch // beam_size, cfg.n_head, slots, 2 * cfg.head_dim)
     else:
@@ -468,18 +499,23 @@ def _cached_block(
         # Time-major slots (t*K + kb): positions [cache_index, cache_index+S)
         # for all K rows are one contiguous slot range — ONE in-place update.
         new_flat = new_kv.transpose(0, 1, 3, 2, 4).reshape(R, H, S * K, 2 * Dh)
-        # Live-cache slot index: with ``cache_base`` P (prefill-to-shared),
-        # the live buffer holds only generated positions — slot for
-        # absolute position t is (t - P)*K + kb.
+        # Live-region slot index: with ``cache_base`` P, the live region
+        # holds only generated positions — position t sits at
+        # (t - P)*K + kb, offset by P physical slots when the prefix is
+        # FOLDED into the head of this same buffer (``shared`` None), or
+        # by 0 when it lives in a separate shared buffer
+        # (prefill-to-shared consolidation mode).
         live_index = cache_index - cache_base
+        base_slot = cache_base if (shared is None and cache_base) else 0
+        slot0 = base_slot + live_index * K
         if int8kv:
             q8, sk, sv = _quantize_kv(new_flat, Dh)
-            ckv = jax.lax.dynamic_update_slice(ckv, q8, (0, 0, live_index * K, 0))
-            csk = jax.lax.dynamic_update_slice(csk, sk, (0, 0, live_index * K))
-            csv = jax.lax.dynamic_update_slice(csv, sv, (0, 0, live_index * K))
+            ckv = jax.lax.dynamic_update_slice(ckv, q8, (0, 0, slot0, 0))
+            csk = jax.lax.dynamic_update_slice(csk, sk, (0, 0, slot0))
+            csv = jax.lax.dynamic_update_slice(csv, sv, (0, 0, slot0))
         else:
             ckv = jax.lax.dynamic_update_slice(
-                ckv, new_flat.astype(ckv.dtype), (0, 0, live_index * K, 0)
+                ckv, new_flat.astype(ckv.dtype), (0, 0, slot0, 0)
             )
 
         if ancestry is None:
@@ -534,7 +570,8 @@ def _cached_block(
                     from clipcap_tpu.ops.flash_decode import flash_decode
 
                     attn = flash_decode(
-                        q1, ckv, ancestry, u_valid=(live_index + 1) * K,
+                        q1, ckv, ancestry,
+                        u_valid=base_slot + (live_index + 1) * K,
                         scales=(csk, csv) if int8kv else None)
             else:
                 def deq(buf, sk, sv, is8):
@@ -649,11 +686,14 @@ def gpt2_apply(
       sample's own converged length bounds its stream), positions ``t < c``
       are served from the shared buffer (1 slot per position) and excluded
       from the live ancestry mask; attention is the two-phase
-      online-softmax merge.  ``cache_base`` P > 0 (prefill-to-shared)
-      declares that the live cache stores only positions ``t >= P`` (slot
-      ``(t-P)*K + kb``) — the prefix was prefilled straight into the
-      shared buffer and ``shared_len >= P`` always; ``ancestry`` is then
-      indexed by generated position ``t - P``.
+      online-softmax merge.  ``cache_base`` P > 0 declares that the live
+      region stores only positions ``t >= P`` and ``ancestry`` is indexed
+      by generated position ``t - P``.  WITH ``shared_kv`` the prefix
+      lives in the shared buffer (prefill-to-shared consolidation);
+      WITHOUT it, ``cache_base`` means a **folded prefix** — slots
+      ``[0, P)`` of the main cache hold the prefix once, visible to all
+      beams, and the live region starts at physical slot P
+      (``init_kv_cache(..., prefix_slots=P)``).
 
     ``flash``: use the Pallas flash-decode kernel for cached single-token
     attention (``ops/flash_decode`` — one pass over the interleaved cache).
@@ -742,13 +782,22 @@ def gpt2_apply(
             K = beam_size
             R = B // K
             Tl = ancestry.shape[1]                     # logical capacity
+            # Folded-prefix layout (cache_base P without a separate shared
+            # buffer): slots [0, P) hold the one shared prefix copy —
+            # visible to every beam — and the time-major live region
+            # starts at slot P.
+            fold = cache_base if shared_kv is None else 0
             anc = jnp.repeat(ancestry.reshape(R, K, Tl), K, axis=-1)
-            if slots > K * Tl:                         # u-tile padding slots
-                anc = jnp.pad(anc, ((0, 0), (0, 0), (0, slots - K * Tl)),
+            pad = (fold, slots - fold - K * Tl)
+            if any(pad):                # prefix head + u-tile padding tail
+                anc = jnp.pad(anc, ((0, 0), (0, 0), pad),
                               constant_values=-1)      # never matches a row
             s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, slots), 2)
-            pos = cache_base + s_iota // K             # absolute position
-            visible = jnp.logical_and(anc == s_iota % K, pos <= offset)
+            s_rel = jnp.maximum(s_iota - fold, 0)      # live-region slot
+            pos = cache_base + s_rel // K              # absolute position
+            visible = jnp.logical_and(anc == s_rel % K, pos <= offset)
+            if fold:
+                visible = jnp.logical_or(visible, s_iota < fold)
             if shared_kv is not None:
                 # Consolidated positions are served from the shared buffer;
                 # exclude them here so the two phases partition the context.

@@ -337,3 +337,34 @@ def test_beam_consolidation_parity():
                                    err_msg=f"C={C}")
         np.testing.assert_allclose(np.asarray(got.seq_lengths),
                                    np.asarray(ref.seq_lengths), atol=1e-6)
+
+
+def test_beam_folded_prefix_parity():
+    """The folded-prefix cache layout (prefix stored once at the buffer
+    head, default) must reproduce the replicated-prefix layout
+    token-for-token — fp32, including the int8-KV cache variant."""
+    import dataclasses
+
+    from clipcap_tpu.inference.beam import BeamParams, beam_search_batched
+    from clipcap_tpu.models.gpt2 import GPT2Config, init_gpt2
+
+    cfg = GPT2Config(vocab_size=211, n_positions=64, n_embd=32, n_layer=2,
+                     n_head=4, name="t")
+    params = init_gpt2(cfg)
+    rng = np.random.default_rng(7)
+    pre = jnp.asarray(rng.normal(size=(3, 6, 32)), jnp.float32)
+
+    for int8 in (False, True):
+        folded = BeamParams(beam_size=3, max_new_tokens=12, stop_token=5,
+                            fold_prefix=True, int8_kv=int8)
+        replicated = dataclasses.replace(folded, fold_prefix=False)
+        got = beam_search_batched(params, cfg, pre, folded, dtype=jnp.float32)
+        ref = beam_search_batched(params, cfg, pre, replicated,
+                                  dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got.tokens),
+                                      np.asarray(ref.tokens),
+                                      err_msg=f"int8={int8}")
+        np.testing.assert_allclose(np.asarray(got.scores),
+                                   np.asarray(ref.scores), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.seq_lengths),
+                                   np.asarray(ref.seq_lengths), atol=1e-6)

@@ -529,3 +529,54 @@ def test_consolidated_beam_gpt2_apply_flash_matches_xla():
                                    np.asarray(outs[False]),
                                    atol=2e-5, rtol=1e-4,
                                    err_msg=f"int8={int8}")
+
+
+def test_folded_prefix_flash_matches_xla(tiny_jax):
+    """Folded-prefix beam cache (prefix once at the buffer head,
+    init_kv_cache(prefix_slots=P) + cache_base=P without shared_kv): the
+    flash kernel path must match the XLA mask path, and both must match
+    the replicated-prefix layout on identical inputs, fp32."""
+    params, cfg = tiny_jax
+    rng = np.random.default_rng(13)
+    R, K, P, N = 2, 3, 5, 7
+    Bk = R * K
+    dtype = jnp.float32
+
+    pre = jnp.asarray(rng.normal(size=(R, P, cfg.n_embd)), dtype)
+    # Folded: beam_size-free prefill over [R, P, D] into slots [0, P).
+    fcache = init_kv_cache(cfg, Bk, max_len=N, dtype=dtype, beam_size=K,
+                           prefix_slots=P)
+    _, fcache = gpt2_apply(params, cfg, inputs_embeds=pre, kv_cache=fcache,
+                           cache_index=jnp.int32(0), dtype=dtype, flash=False)
+    # Replicated reference: prefill all K rows.
+    rcache = init_kv_cache(cfg, Bk, max_len=P + N, dtype=dtype, beam_size=K)
+    _, rcache = gpt2_apply(params, cfg,
+                           inputs_embeds=jnp.repeat(pre, K, axis=0),
+                           kv_cache=rcache, cache_index=jnp.int32(0),
+                           dtype=dtype, beam_size=K, flash=False)
+
+    # Two decode steps with a nontrivial ancestry over generated positions.
+    anc_gen = jnp.asarray(rng.integers(0, K, size=(Bk, N)), jnp.int32)
+    anc_abs = jnp.concatenate(  # replicated layout: own-row for the prefix
+        [jnp.broadcast_to((jnp.arange(Bk, dtype=jnp.int32) % K)[:, None],
+                          (Bk, P)), anc_gen], axis=1)
+    out_f = out_ff = out_r = None
+    for s in range(2):
+        step = jnp.asarray(rng.normal(size=(Bk, 1, cfg.n_embd)), dtype)
+        ci = jnp.int32(P + s)
+        out_f, fcache = gpt2_apply(params, cfg, inputs_embeds=step,
+                                   kv_cache=fcache, cache_index=ci,
+                                   dtype=dtype, beam_size=K, ancestry=anc_gen,
+                                   cache_base=P, flash=False)
+        out_ff, _ = gpt2_apply(params, cfg, inputs_embeds=step,
+                               kv_cache=fcache, cache_index=ci, dtype=dtype,
+                               beam_size=K, ancestry=anc_gen, cache_base=P,
+                               flash=True)
+        out_r, rcache = gpt2_apply(params, cfg, inputs_embeds=step,
+                                   kv_cache=rcache, cache_index=ci,
+                                   dtype=dtype, beam_size=K, ancestry=anc_abs,
+                                   flash=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_ff), np.asarray(out_f),
+                               atol=1e-5, rtol=1e-5)
