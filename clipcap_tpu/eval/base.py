@@ -92,9 +92,11 @@ def generate_predictions(args: Namespace) -> dict:
     )
 
     gen_dtype = jnp.bfloat16 if getattr(args, "fp_precision", 32) == 16 else jnp.float32
-    from clipcap_tpu.inference.serving import decode_sharded, maybe_serving_mesh
+    from clipcap_tpu.inference.serving import (
+        decode_sharded, maybe_serving_mesh, prepare_model_for_mesh)
 
     mesh = maybe_serving_mesh(args)
+    model = prepare_model_for_mesh(model, mesh)  # --mesh-model: TP packing
     if mesh is not None and (eb * n_gen) % mesh.shape["data"]:
         raise ValueError(
             f"--eval-batch-size*{n_gen} candidates ({eb * n_gen}) must "

@@ -66,4 +66,10 @@ def add_inference_args(parser: ArgumentParser) -> ArgumentParser:
         help="Shard serving over N devices (data-parallel mesh: params "
              "replicated, candidate/sample batch split — "
              "inference/serving.py). 0/1 = single device.")
+    inference.add_argument(
+        "--mesh-model", type=int, default=0,
+        help="Tensor-parallel the LM over M devices (Megatron column/row "
+             "shardings on the mesh's model axis, parallel/tp.py; M must "
+             "divide the LM's head count, e.g. 5 for gpt2-xl). Composes "
+             "with --mesh-data (N*M devices). 0/1 = no tensor parallelism.")
     return parser

@@ -88,7 +88,7 @@ class BeamResult(NamedTuple):
     scores: Array       # [..., beam] float32, length-normalized final scores
 
 
-@partial(jax.jit, static_argnames=("cfg", "bp", "dtype", "precision"))
+@partial(jax.jit, static_argnames=("cfg", "bp", "dtype", "precision", "flash"))
 def beam_search_batched(
     params,
     cfg: GPT2Config,
@@ -96,8 +96,14 @@ def beam_search_batched(
     bp: BeamParams,
     dtype=jnp.bfloat16,
     precision=None,
+    flash: "bool | None" = None,
 ) -> BeamResult:
-    """R independent reference-exact beam searches in ONE XLA program."""
+    """R independent reference-exact beam searches in ONE XLA program.
+
+    ``flash``: per-call override of the decode-attention kernel choice
+    (None = the gpt2_apply auto rule). Tensor-parallel serving pins
+    ``flash=False`` — the Pallas kernel is a single-chip program; under a
+    ``model``-sharded cache the XLA attention path partitions instead."""
     R, P, D = prefix_embeds.shape
     K = bp.beam_size
     N = bp.max_new_tokens
@@ -203,7 +209,7 @@ def beam_search_batched(
         step_logits, new_cache = gpt2_apply(
             params, cfg, inputs_embeds=emb, kv_cache=cache, cache_index=pos,
             dtype=dtype, precision=precision, beam_size=K, ancestry=ancestry,
-            shared_kv=shared, shared_len=c, cache_base=base,
+            shared_kv=shared, shared_len=c, cache_base=base, flash=flash,
         )
         # Candidate-based ranking — exact, but never materializes the fp32
         # [B, V] log-softmax (the reference ranks avg = (scores+logp)/len

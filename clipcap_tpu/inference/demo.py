@@ -43,8 +43,10 @@ def inference_demo(args: Namespace) -> int:
     media_features = encode_method(sample[None])  # [1, E] or [1, W, E]
     prefix = model.transformer_mapper(jnp.asarray(media_features))
 
-    from clipcap_tpu.inference.serving import maybe_serving_mesh
+    from clipcap_tpu.inference.serving import maybe_serving_mesh, prepare_model_for_mesh
 
+    mesh = maybe_serving_mesh(args)
+    model = prepare_model_for_mesh(model, mesh)  # --mesh-model: TP packing
     captions = generate_nucleus_sampling(
         model, tokenizer, prefix,
         number_to_generate=args.number_to_generate,
@@ -54,7 +56,7 @@ def inference_demo(args: Namespace) -> int:
         temperature=args.temperature,
         seed=args.seed,
         int8_kv=getattr(args, "int8_kv_cache", False),
-        mesh=maybe_serving_mesh(args),  # --mesh-data: candidates sharded
+        mesh=mesh,  # --mesh-data/--mesh-model: sharded serving
     )
 
     similarities = encode_method.similarity(sample, captions)

@@ -98,7 +98,7 @@ def _select_token(logits: Array, rng: Array, sp: SamplingParams) -> Array:
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "sp", "dtype", "precision"))
+@partial(jax.jit, static_argnames=("cfg", "sp", "dtype", "precision", "flash"))
 def decode(
     params,
     cfg: GPT2Config,
@@ -108,6 +108,7 @@ def decode(
     prefix_tokens: Optional[Array] = None,
     dtype=jnp.bfloat16,
     precision=None,
+    flash: "bool | None" = None,
 ) -> DecodeResult:
     """Generate up to ``sp.max_new_tokens`` per batch row.
 
@@ -183,6 +184,7 @@ def decode(
         step_logits, cache = gpt2_apply(
             params, cfg, inputs_embeds=emb, kv_cache=cache,
             cache_index=P + step, dtype=dtype, precision=precision,
+            flash=flash,
         )
         return (step + 1, rng, step_logits[:, 0], cache, buf, valid,
                 out_tokens, stopped, lengths)

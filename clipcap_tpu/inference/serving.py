@@ -1,14 +1,23 @@
-"""Multi-chip serving: data-sharded decode/beam over a named mesh.
+"""Multi-chip serving: data- and tensor-sharded decode/beam over a mesh.
 
 The reference serves strictly single-device (its decode loops run one
 sample at a time on one GPU, /root/reference/clipcap/inference/demo.py).
 Here the batched decode engines are pure jittable functions, so scale-out
-is an annotation, not a rewrite: params replicated, the batch dim sharded
-over the ``data`` axis, XLA partitions the whole token loop — each chip
-runs its shard's searches with zero per-step collectives (SURVEY.md §2.3).
+is an annotation, not a rewrite (SURVEY.md §2.3):
 
-Exposed through ``--mesh-data N`` on the inference/eval CLIs; exercised on
-the 8-device virtual CPU mesh in tests and in ``dryrun_multichip``.
+* ``--mesh-data N``: params replicated, the batch dim sharded over the
+  ``data`` axis — each chip runs its shard's searches with zero per-step
+  collectives.
+* ``--mesh-model M`` (composable with ``--mesh-data``): Megatron
+  tensor-parallel LM over the ``model`` axis (``parallel/tp.py`` —
+  head-major-packed c_attn, column/row-parallel blocks, the per-block
+  psums emitted by XLA's partitioner).  Splits the weight stream and the
+  KV cache M ways — for LMs whose weights+cache exceed one chip's HBM.
+  The Pallas flash-decode kernel is a single-chip program, so TP decode
+  pins the XLA attention path (``flash=False``).
+
+Exercised on the 8-device virtual CPU mesh in tests and
+``dryrun_multichip``.
 """
 from __future__ import annotations
 
@@ -20,23 +29,50 @@ import jax
 from clipcap_tpu.parallel.mesh import MeshConfig, batch_sharding, make_mesh, replicated
 
 
-def serving_mesh(data: int):
-    """Mesh for data-parallel serving (``--mesh-data``)."""
-    return make_mesh(MeshConfig(data=data, model=1),
-                     devices=jax.devices()[:data])
+def serving_mesh(data: int, model: int = 1):
+    """Mesh for sharded serving (``--mesh-data`` x ``--mesh-model``)."""
+    return make_mesh(MeshConfig(data=data, model=model),
+                     devices=jax.devices()[:data * model])
+
+
+def _tp(mesh) -> bool:
+    return mesh.shape.get("model", 1) > 1
+
+
+def _params_spec(mesh, cfg):
+    """Param shardings: replicated, or — on a mesh with a ``model`` axis —
+    Megatron TP specs built over an abstract (eval_shape) param tree, so
+    the jitted serving program is cacheable per (mesh, cfg)."""
+    if not _tp(mesh):
+        return replicated(mesh)
+    import dataclasses
+
+    from clipcap_tpu.models.gpt2 import GPT2Config, init_gpt2
+    from clipcap_tpu.parallel.tp import gpt2_tp_shardings, validate_tp
+
+    validate_tp(cfg, mesh.shape["model"])
+    # Only the tree STRUCTURE matters for the spec pytree — build it from a
+    # tiny skeleton instead of materializing cfg-sized arrays.
+    skeleton = init_gpt2(dataclasses.replace(
+        GPT2Config(), vocab_size=8, n_positions=8, n_embd=4, n_layer=1,
+        n_head=2))
+    return gpt2_tp_shardings(mesh, skeleton)
 
 
 @lru_cache(maxsize=None)
 def _sharded_decode_fn(mesh, cfg, sp, dtype, precision):
     from clipcap_tpu.inference.engine import decode
 
+    flash = False if _tp(mesh) else None
+
     def run(params, prefix, rng):
         return decode.__wrapped__(params, cfg, prefix, rng, sp,
-                                  dtype=dtype, precision=precision)
+                                  dtype=dtype, precision=precision,
+                                  flash=flash)
 
     return jax.jit(
         run,
-        in_shardings=(replicated(mesh), batch_sharding(mesh, 3),
+        in_shardings=(_params_spec(mesh, cfg), batch_sharding(mesh, 3),
                       replicated(mesh)),
         out_shardings=batch_sharding(mesh, 1),
     )
@@ -46,52 +82,87 @@ def _sharded_decode_fn(mesh, cfg, sp, dtype, precision):
 def _sharded_beam_fn(mesh, cfg, bp, dtype, precision):
     from clipcap_tpu.inference.beam import beam_search_batched
 
+    flash = False if _tp(mesh) else None
+
     def run(params, prefix):
         return beam_search_batched.__wrapped__(params, cfg, prefix, bp,
                                                dtype=dtype,
-                                               precision=precision)
+                                               precision=precision,
+                                               flash=flash)
 
     return jax.jit(
         run,
-        in_shardings=(replicated(mesh), batch_sharding(mesh, 3)),
+        in_shardings=(_params_spec(mesh, cfg), batch_sharding(mesh, 3)),
         out_shardings=batch_sharding(mesh, 1),
     )
 
 
-def decode_sharded(params, cfg, prefix_embeds, rng, sp, mesh, dtype,
-                   precision=None):
-    """``engine.decode`` with the batch sharded over ``mesh``'s data axis.
-    The batch size must divide by the data-axis length."""
+def _shard_batch(mesh, prefix_embeds):
+    """Validate the batch divides the ``data`` axis and place it on the
+    mesh's batch sharding.  The explicit ``device_put`` (a no-op when the
+    placement already matches) is what lets callers pass arrays that are
+    already committed elsewhere — e.g. a prefix computed eagerly on the
+    default device, or replicated on the serving mesh by an upstream
+    mapper forward; ``jit in_shardings`` alone REJECTS committed args
+    whose sharding differs instead of resharding them."""
     n = mesh.shape["data"]
     if prefix_embeds.shape[0] % n:
         raise ValueError(
             f"serving batch {prefix_embeds.shape[0]} not divisible by "
             f"mesh data axis {n}")
+    return jax.device_put(prefix_embeds,
+                          batch_sharding(mesh, prefix_embeds.ndim))
+
+
+def decode_sharded(params, cfg, prefix_embeds, rng, sp, mesh, dtype,
+                   precision=None):
+    """``engine.decode`` sharded over ``mesh``: batch over ``data``, and —
+    when the mesh has a ``model`` axis > 1 — the LM tensor-parallel over
+    ``model`` (params must be head-major-packed: ``cfg.qkv_packing ==
+    "head"`` via ``parallel.tp.pack_qkv_head_major``)."""
+    prefix_embeds = _shard_batch(mesh, prefix_embeds)
     return _sharded_decode_fn(mesh, cfg, sp, dtype, precision)(
         params, prefix_embeds, rng)
 
 
 def beam_search_sharded(params, cfg, prefix_embeds, bp, mesh, dtype,
                         precision=None):
-    """``beam.beam_search_batched`` with samples sharded over ``mesh``."""
-    n = mesh.shape["data"]
-    if prefix_embeds.shape[0] % n:
-        raise ValueError(
-            f"serving batch {prefix_embeds.shape[0]} not divisible by "
-            f"mesh data axis {n}")
+    """``beam.beam_search_batched`` sharded over ``mesh`` (data batch
+    sharding + optional model-axis tensor parallelism, as above)."""
+    prefix_embeds = _shard_batch(mesh, prefix_embeds)
     return _sharded_beam_fn(mesh, cfg, bp, dtype, precision)(
         params, prefix_embeds)
 
 
+def prepare_model_for_mesh(model, mesh):
+    """Ready a ``ClipCapModel`` for serving over ``mesh``: on a
+    tensor-parallel mesh the LM is re-packed head-major
+    (``parallel.tp.pack_qkv_head_major`` — pure layout permutation) so the
+    ``model``-axis shardings stay head-aligned. No-op otherwise."""
+    if mesh is None or not _tp(mesh):
+        return model
+    import dataclasses
+
+    from clipcap_tpu.parallel.tp import pack_qkv_head_major
+
+    lm, lm_cfg = pack_qkv_head_major(model.params["lm"], model.lm_config)
+    params = dict(model.params)
+    params["lm"] = lm
+    return dataclasses.replace(model, params=params, lm_config=lm_cfg)
+
+
 def maybe_serving_mesh(args) -> Optional[object]:
-    """Resolve ``--mesh-data`` from parsed args (None = single device)."""
+    """Resolve ``--mesh-data`` / ``--mesh-model`` from parsed args
+    (None = single device)."""
     n = int(getattr(args, "mesh_data", 0) or 0)
-    if n <= 1:
+    m = int(getattr(args, "mesh_model", 0) or 0)
+    n, m = max(n, 1), max(m, 1)
+    if n * m <= 1:
         return None
     have = len(jax.devices())
-    if have < n:
+    if have < n * m:
         raise ValueError(
-            f"--mesh-data {n} but only {have} device(s) visible "
-            "(use XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            f"--mesh-data {n} x --mesh-model {m} but only {have} device(s) "
+            "visible (use XLA_FLAGS=--xla_force_host_platform_device_count=N "
             "JAX_PLATFORMS=cpu for a virtual mesh)")
-    return serving_mesh(n)
+    return serving_mesh(n, m)

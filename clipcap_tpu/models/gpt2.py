@@ -52,6 +52,12 @@ class GPT2Config:
     layer_norm_epsilon: float = 1e-5
     activation: str = "gelu_new"
     name: str = "gpt2"
+    # Column layout of the packed c_attn weight/bias: "qkv" is the HF/export
+    # layout (q | k | v, each head-major); "head" is the tensor-parallel
+    # layout (for each head: q_h | k_h | v_h) — any contiguous split of the
+    # packed dim is then head-aligned, so a ``model``-axis NamedSharding
+    # partitions heads with zero resharding (parallel/tp.py).
+    qkv_packing: str = "qkv"
 
     @property
     def head_dim(self) -> int:
@@ -131,6 +137,19 @@ def init_gpt2(cfg: GPT2Config, seed: int = 0) -> Params:
 
 def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
+
+
+def _split_qkv(qkv: Array, cfg: GPT2Config) -> Tuple[Array, Array, Array]:
+    """Unpack the fused c_attn output into q, k, v (each ``[..., D]``,
+    head-major) for either packing layout (``GPT2Config.qkv_packing``).
+    Both layouts yield IDENTICAL q/k/v tensors — "head" only permutes the
+    packed dim so contiguous tensor-parallel shards stay head-aligned."""
+    if cfg.qkv_packing == "head":
+        *lead, _ = qkv.shape
+        H, Dh = cfg.n_head, cfg.head_dim
+        g = qkv.reshape(*lead, H, 3, Dh)
+        return tuple(g[..., i, :].reshape(*lead, H * Dh) for i in range(3))
+    return tuple(jnp.split(qkv, 3, axis=-1))
 
 
 # Cache slot counts are padded to this quantum — the TPU sublane tile of
@@ -433,7 +452,7 @@ def _cached_block(
 
     h = layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"], cfg.layer_norm_epsilon)
     qkv = linear(h, layer["attn"]["c_attn"]["w"], layer["attn"]["c_attn"]["b"], precision)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = _split_qkv(qkv, cfg)
 
     int8kv = isinstance(ckv, tuple)
     if int8kv:
@@ -621,7 +640,7 @@ def _block(
 
     h = layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"], cfg.layer_norm_epsilon)
     qkv = linear(h, layer["attn"]["c_attn"]["w"], layer["attn"]["c_attn"]["b"], precision)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = _split_qkv(qkv, cfg)
     q = q.reshape(B, S, H, Dh)
     k = k.reshape(B, S, H, Dh)
     v = v.reshape(B, S, H, Dh)

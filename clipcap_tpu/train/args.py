@@ -59,6 +59,13 @@ def add_training_args(parser: ArgumentParser) -> ArgumentParser:
     dist = parser.add_argument_group("distributed")
     dist.add_argument("--zero1-optimizer-sharding", type=str2bool, default=True,
                       help="Shard optimizer moments over the data mesh axis (ZeRO-1 analog).")
+    dist.add_argument("--mesh-model", type=int, default=0,
+                      help="Tensor-parallel the LM over M devices (Megatron "
+                           "column/row shardings on the mesh's model axis, "
+                           "parallel/tp.py; M must divide the LM's head "
+                           "count). Composes with data parallelism over the "
+                           "remaining devices and with ZeRO-1 moment "
+                           "sharding. 0/1 = no tensor parallelism.")
     dist.add_argument("--enable-deepspeed", type=str2bool, default=False,
                       help="[reference-compat] maps onto --zero1-optimizer-sharding.")
     dist.add_argument("--deepspeed-strategy", type=str, default=None,

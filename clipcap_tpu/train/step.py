@@ -64,15 +64,50 @@ def train_step(
     return new_state, metrics
 
 
-def state_shardings(mesh: Mesh, state: TrainState, zero1: bool = True) -> TrainState:
+def state_shardings(mesh: Mesh, state: TrainState, zero1: bool = True,
+                    lm_tp: bool = False) -> TrainState:
     """Sharding pytree matching a TrainState: params replicated, optimizer
-    moments ZeRO-1 sharded over ``data``."""
+    moments ZeRO-1 sharded over ``data``.
+
+    With ``lm_tp`` (and a ``model`` mesh axis > 1) the LM params instead get
+    Megatron column/row shardings over ``model`` (``parallel/tp.py``; params
+    must be head-major-packed), and each moment inherits its param's
+    ``model`` placement plus ZeRO-1 over ``data`` on the largest free axis.
+    """
     rep = replicated(mesh)
-    return TrainState(
-        step=rep,
-        params=jax.tree_util.tree_map(lambda _: rep, state.params),
-        opt_state=opt_state_shardings(mesh, state.opt_state, zero1=zero1),
-    )
+    if lm_tp and mesh.shape.get("model", 1) > 1:
+        from clipcap_tpu.parallel.tp import gpt2_tp_shardings, tp_moment_spec
+
+        p_spec = dict(
+            jax.tree_util.tree_map(lambda _: rep, state.params),
+            lm=gpt2_tp_shardings(mesh, state.params["lm"]),
+        )
+        p_struct = jax.tree_util.tree_structure(state.params)
+
+        def moments(node_params, node_specs):
+            return jax.tree_util.tree_map(
+                lambda leaf, sp: (tp_moment_spec(leaf.shape, sp.spec, mesh)
+                                  if zero1 else sp),
+                node_params, node_specs)
+
+        def map_opt(node):
+            # optax states embed subtrees shaped exactly like the params
+            # (mu/nu) — give those the param-aligned moment shardings;
+            # scalars (count etc.) stay replicated.
+            if jax.tree_util.tree_structure(node) == p_struct:
+                return moments(node, p_spec)
+            if isinstance(node, tuple):
+                children = [map_opt(c) for c in node]
+                return (type(node)(*children) if hasattr(node, "_fields")
+                        else tuple(children))
+            if isinstance(node, dict):
+                return {k: map_opt(v) for k, v in node.items()}
+            return rep
+        opt_spec = map_opt(state.opt_state)
+    else:
+        p_spec = jax.tree_util.tree_map(lambda _: rep, state.params)
+        opt_spec = opt_state_shardings(mesh, state.opt_state, zero1=zero1)
+    return TrainState(step=rep, params=p_spec, opt_state=opt_spec)
 
 
 def make_train_step(
@@ -89,14 +124,24 @@ def make_train_step(
     remat: bool = False,
     zero1: bool = True,
     freeze_lm: bool = False,
+    lm_tp: bool = False,
 ):
     """Compile the training step over ``mesh``.
 
     Returns ``(step_fn, sharded_state)`` where ``sharded_state`` is the input
     state placed according to the step's input shardings (params replicated,
     moments ZeRO-1) — pass exactly that state to ``step_fn``.
+
+    ``lm_tp``: tensor-parallel LM over the mesh's ``model`` axis — requires
+    head-major-packed params (``parallel.tp.pack_qkv_head_major``) and
+    ``lm_cfg.qkv_packing == "head"``; XLA's partitioner then emits the
+    Megatron per-block psums from the shardings alone.
     """
-    st_sh = state_shardings(mesh, state, zero1=zero1)
+    if lm_tp:
+        from clipcap_tpu.parallel.tp import validate_tp
+
+        validate_tp(lm_cfg, mesh.shape.get("model", 1))
+    st_sh = state_shardings(mesh, state, zero1=zero1, lm_tp=lm_tp)
     tok_sh = NamedSharding(mesh, P("data", None))
     emb_sh = NamedSharding(mesh, P("data", *([None] * (embeddings_ndim - 1))))
     rep = replicated(mesh)

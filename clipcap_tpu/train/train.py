@@ -97,7 +97,8 @@ def train(args: Namespace) -> int:
     print(f"training {mode}; total_steps={args.total_steps}")
 
     devices = _select_devices(args.device)
-    mesh = make_mesh(MeshConfig(), devices=devices)
+    mesh_model = max(1, int(getattr(args, "mesh_model", 0) or 0))
+    mesh = make_mesh(MeshConfig(model=mesh_model), devices=devices)
     print(f"mesh: {dict(mesh.shape)} over {len(devices)} device(s)")
 
     tx = make_optimizer(
@@ -113,6 +114,19 @@ def train(args: Namespace) -> int:
         state = restore_train_state(args.resume_from, state)
         print(f"resumed from {args.resume_from} at step {int(state.step)}")
 
+    # --mesh-model: tensor-parallel LM over the mesh's model axis.
+    # Checkpoints stay in the canonical qkv layout — the state is packed
+    # head-major here (params + moments, a pure column permutation) and
+    # unpacked again at every save (parallel/tp.py).
+    lm_cfg = model.lm_config
+    lm_tp = mesh_model > 1
+    if lm_tp:
+        from clipcap_tpu.parallel.tp import pack_train_state
+
+        state, lm_cfg = pack_train_state(state, lm_cfg)
+        print(f"tensor parallelism: LM sharded over model axis "
+              f"({mesh_model}-way, head-major qkv packing)")
+
     emb_ndim = 3 if encoder_config.use_windowed_embeddings else 2
     # Rematerialization policy: finetuning always needs it; prefix-only
     # needs it once per-chip batches are large (activation residuals OOM a
@@ -124,14 +138,26 @@ def train(args: Namespace) -> int:
     else:
         remat = args.remat
     step_fn, state = make_train_step(
-        mesh, state, tx, model.lm_config, model.mapper_config,
+        mesh, state, tx, lm_cfg, model.mapper_config,
         prefix_length=model_config.prefix_length,
         embeddings_ndim=emb_ndim,
         dtype=compute_dtype,
         remat=remat,
         zero1=zero1,
         freeze_lm=not args.train_language_model,
+        lm_tp=lm_tp,
     )
+
+    def ckpt_view(s):
+        """State as checkpoints store it: canonical qkv layout."""
+        if not lm_tp:
+            return s
+        import jax as _jax
+
+        from clipcap_tpu.parallel.tp import unpack_train_state
+
+        plain, _ = unpack_train_state(_jax.device_get(s), lm_cfg)
+        return plain
 
     checkpoint_saver = CheckpointSaver(
         model_config,
@@ -186,11 +212,11 @@ def train(args: Namespace) -> int:
                 print(f"epoch {epoch} step {step} loss {loss:.4f} ({rate:.1f} samples/s)")
                 if logger is not None:
                     logger.log({"loss": loss, "epoch": epoch, "samples_per_sec": rate}, step=step)
-        saved = checkpoint_saver.on_epoch_end(epoch, state)
+        saved = checkpoint_saver.on_epoch_end(epoch, ckpt_view(state))
         if saved:
             print(f"checkpoint: {saved}")
 
-    final = checkpoint_saver.save_final_checkpoint(state)
+    final = checkpoint_saver.save_final_checkpoint(ckpt_view(state))
     print(f"final checkpoint: {final}")
     if logger is not None:
         logger.finish()

@@ -24,6 +24,13 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: do NOT enable the persistent compile cache for the CPU backend.
+# XLA:CPU AOT cache entries record compile-machine pseudo-features
+# (+prefer-no-scatter etc.) that fail the load-time host check, so loads
+# never succeed (zero speedup) — and a partially-loaded entry leaves the
+# in-process collective communicator deadlocked (reproduced: TP train step
+# aborts in CollectivePermuteThunk rendezvous with the cache on, passes
+# with it off). bench.py keeps the cache: TPU-backend entries load fine.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

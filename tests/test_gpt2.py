@@ -580,3 +580,39 @@ def test_folded_prefix_flash_matches_xla(tiny_jax):
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out_ff), np.asarray(out_f),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_head_major_qkv_packing_parity():
+    """pack_qkv_head_major is a pure layout permutation: full-sequence
+    logits AND cached beam decode are bitwise-comparable (fp32) to the
+    plain q|k|v packing, and unpack restores the original tree exactly."""
+    from clipcap_tpu.parallel.tp import pack_qkv_head_major, unpack_qkv_head_major
+
+    cfg = GPT2Config(vocab_size=203, n_positions=64, n_embd=48, n_layer=2,
+                     n_head=4, name="t")
+    params = init_gpt2(cfg, seed=3)
+    hparams, hcfg = pack_qkv_head_major(params, cfg)
+    assert hcfg.qkv_packing == "head"
+
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, 203, size=(3, 11)), jnp.int32)
+    ref, _ = gpt2_apply(params, cfg, input_ids=ids, dtype=jnp.float32)
+    got, _ = gpt2_apply(hparams, hcfg, input_ids=ids, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # Cached decode path (beam mode exercises _cached_block's unpack).
+    from clipcap_tpu.inference.beam import BeamParams, beam_search_batched
+
+    pre = jnp.asarray(rng.normal(size=(2, 5, 48)), jnp.float32)
+    bp = BeamParams(beam_size=3, max_new_tokens=8, stop_token=7)
+    r0 = beam_search_batched(params, cfg, pre, bp, dtype=jnp.float32)
+    r1 = beam_search_batched(hparams, hcfg, pre, bp, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r0.tokens))
+
+    # Round trip restores the export layout exactly.
+    back, bcfg = unpack_qkv_head_major(hparams, hcfg)
+    assert bcfg.qkv_packing == "qkv"
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
