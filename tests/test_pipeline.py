@@ -308,6 +308,28 @@ def test_eval_cli_end_to_end(tmp_path):
     for key in ("bleu_1", "bleu_4", "rouge_l", "cider", "meteor", "spice", "spider"):
         assert any(key in k.lower() for k in scores), (key, scores.keys())
 
+    # Sharded serving through the SAME CLI surface: --mesh-data 2 x
+    # --mesh-model 4 on the virtual 8-device mesh.  prepare_model_for_mesh
+    # re-packs the LM head-major and decode runs tensor-parallel over the
+    # ``model`` axis; with fp32 compute and a seeded sampler the
+    # predictions must equal the single-device run's exactly.
+    preds_tp_json = str(tmp_path / "preds_tp.json")
+    tp_args = parser.parse_args([
+        "--model-path", os.path.join(models_out, "clipcap_final.npz"),
+        "--config-path", os.path.join(models_out, "clipcap_config.yaml"),
+        "--sample-path", str(eval_dir),
+        "--reference-csv", csv_path,
+        "--csv-filename-column", "file_name",
+        "--csv-reference-caption-columns", "cap_{1..5}",
+        "--eval-batch-size", "2",
+        "--number-to-generate", "2",
+        "--allow-fallback-tokenizer",
+        "--mesh-data", "2", "--mesh-model", "4",
+        "--save-predictions", preds_tp_json,
+    ])
+    assert run_eval(tp_args) == 0
+    assert json.load(open(preds_tp_json)) == preds
+
     # Without --allow-fallback-tokenizer, eval must REFUSE to score with the
     # byte-fallback tokenizer (ids don't match a pretrained GPT-2, so the
     # scores would be silently meaningless).
