@@ -128,25 +128,35 @@ def _measure_embeds(batch: int = 256, rounds: int = 4, trials: int = TRIALS):
 
 
 def main() -> None:
-    best, trials = _measure_beam("gpt2", batch=128)
-
+    # Each section is fault-isolated: the shared TPU tunnel can drop
+    # mid-run (observed: UNAVAILABLE backend errors minutes into the xl
+    # compile), and one failed section must not cost the whole JSON line.
     out = {
         "metric": "beam5_captions_per_sec_per_chip",
-        "value": round(best, 3),
         "unit": "captions/s",
-        "vs_baseline": round(best / BASELINE_CAPTIONS_PER_SEC, 3),
-        "trials": trials,
     }
+    try:
+        best, trials = _measure_beam("gpt2", batch=128)
+        out["value"] = round(best, 3)
+        out["vs_baseline"] = round(best / BASELINE_CAPTIONS_PER_SEC, 3)
+        out["trials"] = trials
+    except Exception as e:
+        out["value"] = 0.0
+        out["vs_baseline"] = 0.0
+        out["error"] = f"{type(e).__name__}: {e}"[:300]
 
-    emb_best, emb_trials = _measure_embeds()
-    out["embeds"] = {
-        "value": round(emb_best, 1),
-        "unit": "embeds/s",
-        "model": "ViT-B/32",
-        "batch": 256,
-        "vs_baseline": round(emb_best / BASELINE_EMBEDS_PER_SEC, 3),
-        "trials": emb_trials,
-    }
+    try:
+        emb_best, emb_trials = _measure_embeds()
+        out["embeds"] = {
+            "value": round(emb_best, 1),
+            "unit": "embeds/s",
+            "model": "ViT-B/32",
+            "batch": 256,
+            "vs_baseline": round(emb_best / BASELINE_EMBEDS_PER_SEC, 3),
+            "trials": emb_trials,
+        }
+    except Exception as e:
+        out["embeds"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     if os.environ.get("CLIPCAP_BENCH_SKIP_XL", "0") != "1":
         # The reference's default LM (gpt2-xl): batch 96 is the largest
@@ -155,14 +165,18 @@ def main() -> None:
         # the live cache again, capping the batch at 88 — and measured
         # slower per step anyway; see BeamParams.consolidate_every).
         xl_batch = int(os.environ.get("CLIPCAP_BENCH_XL_BATCH", 96))
-        xl_best, xl_trials = _measure_beam("gpt2-xl", batch=xl_batch, rounds=1)
-        out["gpt2_xl"] = {
-            "value": round(xl_best, 3),
-            "unit": "captions/s",
-            "batch": xl_batch,
-            "vs_baseline": round(xl_best / BASELINE_CAPTIONS_PER_SEC, 3),
-            "trials": xl_trials,
-        }
+        try:
+            xl_best, xl_trials = _measure_beam("gpt2-xl", batch=xl_batch,
+                                               rounds=1)
+            out["gpt2_xl"] = {
+                "value": round(xl_best, 3),
+                "unit": "captions/s",
+                "batch": xl_batch,
+                "vs_baseline": round(xl_best / BASELINE_CAPTIONS_PER_SEC, 3),
+                "trials": xl_trials,
+            }
+        except Exception as e:
+            out["gpt2_xl"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     print(json.dumps(out))
 
