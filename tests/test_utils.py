@@ -124,3 +124,25 @@ def test_profiling_helpers(tmp_path):
         with annotate("unit-test-region"):
             float(jnp.sum(jnp.ones((4,))))
     assert any(tmp_path.rglob("*.xplane.pb")), "no trace written"
+
+
+def test_bench_main_fault_isolation(monkeypatch, capsys):
+    """bench.py must emit its one-line JSON artifact even when a section
+    dies mid-run (observed: the shared TPU tunnel dropping with UNAVAILABLE
+    minutes into the gpt2-xl compile) — a lost BENCH_r*.json is worse than
+    a partial one."""
+    import json
+
+    import bench
+
+    def boom(*a, **k):
+        raise RuntimeError("tunnel drop")
+
+    monkeypatch.setattr(bench, "_measure_beam", boom)
+    monkeypatch.setattr(bench, "_measure_embeds", lambda *a, **k: (123.0, [123.0]))
+    monkeypatch.delenv("CLIPCAP_BENCH_SKIP_XL", raising=False)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 0.0 and "tunnel drop" in rec["error"]
+    assert rec["embeds"]["value"] == 123.0
+    assert "tunnel drop" in rec["gpt2_xl"]["error"]
