@@ -1,11 +1,12 @@
 """A/B the converged-prefix beam-cache consolidation on real hardware.
 
 Sweeps the consolidation cadence C (0 = disabled) and the shared-phase
-kernel knobs (CLIPCAP_FLASH_SHARED_TILE / _ROWS are trace-time env reads,
-so they are set per-variant before the first trace of that variant).
+kernel knobs (CLIPCAP_FLASH_SHARED_TILE / CLIPCAP_FLASH_FUSED_ROWS are
+trace-time env reads — flash_decode.py:626,648 — so they are set
+per-variant before the first trace of that variant).
 
 Usage: bench_consolidation.py [model] [R] [trials] [C ...]
-  env CLIPCAP_FLASH_SHARED_TILE / CLIPCAP_FLASH_SHARED_ROWS per run.
+  env CLIPCAP_FLASH_SHARED_TILE / CLIPCAP_FLASH_FUSED_ROWS per run.
 """
 import os
 import sys
@@ -37,9 +38,9 @@ params = jax.tree_util.tree_map(
 rng = np.random.default_rng(0)
 prefix = jnp.asarray(rng.normal(size=(R, 10, cfg.n_embd)) * 0.02, jnp.bfloat16)
 
-tile = os.environ.get("CLIPCAP_FLASH_SHARED_TILE", "16")
-rows = os.environ.get("CLIPCAP_FLASH_SHARED_ROWS", "4")
-print(f"{MODEL} R={R} shared_tile={tile} shared_rows={rows}", flush=True)
+tile = os.environ.get("CLIPCAP_FLASH_SHARED_TILE", "32")
+rows = os.environ.get("CLIPCAP_FLASH_FUSED_ROWS", "auto")
+print(f"{MODEL} R={R} shared_tile={tile} fused_rows={rows}", flush=True)
 
 for C in CADENCES:
     bp = BeamParams(beam_size=5, max_new_tokens=67, stop_token=50256,

@@ -100,7 +100,7 @@ def generate_predictions(args: Namespace) -> dict:
     if mesh is not None and (eb * n_gen) % mesh.shape["data"]:
         raise ValueError(
             f"--eval-batch-size*{n_gen} candidates ({eb * n_gen}) must "
-            f"divide --mesh-data {mesh.shape['data']}")
+            f"be a multiple of --mesh-data {mesh.shape['data']}")
     dataset = EvalDataset(safe_processor, args.sample_path)
     predictions = {}
     names, samples = [], []

@@ -225,8 +225,11 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
     # Asyndetic lists: the PTB pipeline strips commas, so "plates, cups and
     # bowls" arrives as "plates cups and bowls" and the first nouns chunk
     # as a compound.  At a conjunction boundary, plural non-adjective
-    # "modifiers" (or non-adjective mods under a plural head) are elided
-    # conjuncts — split them into the coordination.
+    # "modifiers" are elided conjuncts — split them into the coordination.
+    # The modifier itself must be plural: a singular modifier under a
+    # plural head is a compound noun, not a list ("palm trees and a
+    # bench" keeps NP(trees, [palm]); splitting NP(palm) would add a
+    # bogus object and distribute the group's relations to it).
     idx = 0
     while idx < len(chunks):
         at_conj = ((idx + 1 < len(chunks) and chunks[idx + 1][0] == "conj")
@@ -234,7 +237,7 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
         if chunks[idx][0] == "np" and at_conj:
             head, mods = chunks[idx][1]
             split = [m for m in mods
-                     if (_plural_noun(m) or _plural_noun(head))
+                     if _plural_noun(m)
                      and m not in ADJECTIVES and not _looks_like_adjective(m)]
             if split:
                 keep = [m for m in mods if m not in split]

@@ -13,8 +13,21 @@ is an annotation, not a rewrite (SURVEY.md §2.3):
   head-major-packed c_attn, column/row-parallel blocks, the per-block
   psums emitted by XLA's partitioner).  Splits the weight stream and the
   KV cache M ways — for LMs whose weights+cache exceed one chip's HBM.
-  The Pallas flash-decode kernel is a single-chip program, so TP decode
-  pins the XLA attention path (``flash=False``).
+
+Kernel choice under a mesh: the Pallas flash-decode kernel is a
+single-chip program — Mosaic custom calls carry no SPMD partitioning
+rule, so it must never sit inside a multi-device ``jit`` unguarded.
+Data-parallel *beam* serving therefore runs through ``jax.shard_map``
+over the ``data`` axis: each chip executes the complete single-chip
+program (flash kernel included) on its batch shard — beam search is
+deterministic and row-independent, so the per-shard run is
+token-identical to the global one.  Tensor-parallel serving and the
+*sampling* path instead keep the partitioned-``jit`` form and pin the
+XLA attention path (``flash=False``): under TP the KV cache itself is
+``model``-sharded (only XLA's partitioner can split the attention), and
+the sampling engine draws one batch-shaped categorical per step whose
+noise layout is global — per-shard execution would change which noise
+lands on which row, breaking parity with the single-device program.
 
 Exercised on the 8-device virtual CPU mesh in tests and
 ``dryrun_multichip``.
@@ -63,12 +76,14 @@ def _params_spec(mesh, cfg):
 def _sharded_decode_fn(mesh, cfg, sp, dtype, precision):
     from clipcap_tpu.inference.engine import decode
 
-    flash = False if _tp(mesh) else None
-
+    # flash=False on EVERY serving mesh: the sampling engine's per-step
+    # categorical draws batch-global noise, so the program must stay one
+    # partitioned jit (not per-shard shard_map) to match the single-device
+    # outputs — and a multi-device jit cannot contain the Mosaic kernel.
     def run(params, prefix, rng):
         return decode.__wrapped__(params, cfg, prefix, rng, sp,
                                   dtype=dtype, precision=precision,
-                                  flash=flash)
+                                  flash=False)
 
     return jax.jit(
         run,
@@ -82,19 +97,41 @@ def _sharded_decode_fn(mesh, cfg, sp, dtype, precision):
 def _sharded_beam_fn(mesh, cfg, bp, dtype, precision):
     from clipcap_tpu.inference.beam import beam_search_batched
 
-    flash = False if _tp(mesh) else None
+    if _tp(mesh):
+        # model-sharded KV cache: XLA attention partitions it; the Pallas
+        # kernel cannot, so TP pins flash=False inside one partitioned jit.
+        def run(params, prefix):
+            return beam_search_batched.__wrapped__(params, cfg, prefix, bp,
+                                                   dtype=dtype,
+                                                   precision=precision,
+                                                   flash=False)
+
+        return jax.jit(
+            run,
+            in_shardings=(_params_spec(mesh, cfg), batch_sharding(mesh, 3)),
+            out_shardings=batch_sharding(mesh, 1),
+        )
+
+    # Pure data parallelism: shard_map over the data axis — each device
+    # runs the complete single-chip beam program on its rows, keeping the
+    # flash-decode kernel (and every single-chip tuning) live on real
+    # multi-chip serving.  Exact: beam search is deterministic and
+    # row-independent, so shard outputs equal the global program's rows.
+    P = jax.sharding.PartitionSpec
 
     def run(params, prefix):
         return beam_search_batched.__wrapped__(params, cfg, prefix, bp,
                                                dtype=dtype,
                                                precision=precision,
-                                               flash=flash)
+                                               flash=None)
 
-    return jax.jit(
-        run,
-        in_shardings=(_params_spec(mesh, cfg), batch_sharding(mesh, 3)),
-        out_shardings=batch_sharding(mesh, 1),
-    )
+    # check_vma off: the beam while_loop's carries start replicated (built
+    # from params only) and turn data-varying on the first step, which the
+    # static varying-axes checker rejects; out_specs pin the real placement.
+    mapped = jax.shard_map(
+        run, mesh=mesh, axis_names={"data"},
+        in_specs=(P(), P("data")), out_specs=P("data"), check_vma=False)
+    return jax.jit(mapped)
 
 
 def _shard_batch(mesh, prefix_embeds):

@@ -116,10 +116,14 @@ def gpt2_tp_shardings(mesh: Mesh, params: Params) -> Params:
     return specs
 
 
-def _map_params_shaped(tree: Any, params: Params, fn) -> Any:
+def _map_params_shaped(tree: Any, params: Params, fn, leaf=None) -> Any:
     """Apply ``fn`` to every subtree of ``tree`` whose pytree structure
     equals ``params``'s (the mu/nu moment trees inside optax states),
-    recursing through tuples/namedtuples/dicts, leaving other leaves as-is."""
+    recursing through tuples/namedtuples/dicts.  Other leaves pass
+    through ``leaf`` (identity when None — e.g. ``lambda _: spec`` turns
+    the walk into a sharding-spec builder, train/step.py).  The single
+    home for optax-state traversal: pack/unpack and the TP sharding
+    builder must walk the state identically or they diverge silently."""
     p_struct = jax.tree_util.tree_structure(params)
 
     def rec(node):
@@ -131,7 +135,7 @@ def _map_params_shaped(tree: Any, params: Params, fn) -> Any:
                     else tuple(children))
         if isinstance(node, dict):
             return {k: rec(v) for k, v in node.items()}
-        return node
+        return node if leaf is None else leaf(node)
 
     return rec(tree)
 

@@ -76,34 +76,26 @@ def state_shardings(mesh: Mesh, state: TrainState, zero1: bool = True,
     """
     rep = replicated(mesh)
     if lm_tp and mesh.shape.get("model", 1) > 1:
-        from clipcap_tpu.parallel.tp import gpt2_tp_shardings, tp_moment_spec
+        from clipcap_tpu.parallel.tp import (_map_params_shaped,
+                                             gpt2_tp_shardings,
+                                             tp_moment_spec)
 
         p_spec = dict(
             jax.tree_util.tree_map(lambda _: rep, state.params),
             lm=gpt2_tp_shardings(mesh, state.params["lm"]),
         )
-        p_struct = jax.tree_util.tree_structure(state.params)
-
         def moments(node_params, node_specs):
             return jax.tree_util.tree_map(
                 lambda leaf, sp: (tp_moment_spec(leaf.shape, sp.spec, mesh)
                                   if zero1 else sp),
                 node_params, node_specs)
 
-        def map_opt(node):
-            # optax states embed subtrees shaped exactly like the params
-            # (mu/nu) — give those the param-aligned moment shardings;
-            # scalars (count etc.) stay replicated.
-            if jax.tree_util.tree_structure(node) == p_struct:
-                return moments(node, p_spec)
-            if isinstance(node, tuple):
-                children = [map_opt(c) for c in node]
-                return (type(node)(*children) if hasattr(node, "_fields")
-                        else tuple(children))
-            if isinstance(node, dict):
-                return {k: map_opt(v) for k, v in node.items()}
-            return rep
-        opt_spec = map_opt(state.opt_state)
+        # optax states embed subtrees shaped exactly like the params
+        # (mu/nu) — give those the param-aligned moment shardings;
+        # scalars (count etc.) stay replicated.
+        opt_spec = _map_params_shaped(state.opt_state, state.params,
+                                      lambda node: moments(node, p_spec),
+                                      leaf=lambda _: rep)
     else:
         p_spec = jax.tree_util.tree_map(lambda _: rep, state.params)
         opt_spec = opt_state_shardings(mesh, state.opt_state, zero1=zero1)

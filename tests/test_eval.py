@@ -600,6 +600,20 @@ def test_spice_coordination_distribution():
     assert ("girl", "sitting", "bench") in t
     assert ("girl", "boy") not in t
 
+    # Regression (review r3): a singular modifier under a plural head at a
+    # conjunction boundary is a compound noun ("palm trees", "tennis
+    # courts"), NOT an elided asyndetic conjunct — it must stay an
+    # attribute, not split into a standalone object that the coordination
+    # group then distributes relations to.
+    t = extract_tuples("rows of palm trees and a bench".split())
+    assert ("trees", "palm") in t
+    assert ("palm",) not in t
+    # Plural modifiers are still real asyndetic lists.
+    t = extract_tuples("plates cups and bowls on a table".split())
+    assert ("plates", "on", "table") in t
+    assert ("cups", "on", "table") in t
+    assert ("bowls", "on", "table") in t
+
 
 def test_spice_extractor_accuracy_floor():
     """Hand-annotated scene-graph tuples (Anderson et al. 2016 semantics:

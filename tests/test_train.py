@@ -233,15 +233,24 @@ def test_linear_warmup_decay_schedule():
 
 def test_sharded_beam_serving_matches_unsharded():
     """Batched beam search data-sharded over the 8-device mesh must produce
-    identical results to the unsharded run (serving-side scale-out)."""
+    identical results to the unsharded run (serving-side scale-out).
+
+    Goes through ``inference.serving.beam_search_sharded``, whose pure-data
+    path is a ``shard_map`` over the ``data`` axis: each device runs the
+    complete single-chip program on its batch shard.  That structure is
+    what keeps the Pallas flash-decode kernel live on real multi-chip
+    serving — a Mosaic custom call cannot sit inside a multi-device jit
+    (no SPMD partitioning rule) — so a second run pins ``flash=True``
+    (interpret mode on CPU) to prove the kernel executes *inside* the
+    shard_map and still matches."""
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from clipcap_tpu.inference.beam import BeamParams, beam_search_batched
+    from clipcap_tpu.inference.serving import beam_search_sharded, serving_mesh
     from clipcap_tpu.models.gpt2 import GPT2Config, init_gpt2
-    from clipcap_tpu.parallel.mesh import MeshConfig, make_mesh
 
     cfg = GPT2Config(vocab_size=211, n_positions=64, n_embd=32, n_layer=2,
                      n_head=4, name="t")
@@ -252,20 +261,24 @@ def test_sharded_beam_serving_matches_unsharded():
 
     ref = beam_search_batched(params, cfg, prefix, bp, dtype=jnp.float32)
 
-    mesh = make_mesh(MeshConfig(data=8, model=1), devices=jax.devices()[:8])
-
-    def run(p, pe):
-        return beam_search_batched.__wrapped__(p, cfg, pe, bp, dtype=jnp.float32)
-
-    sharded = jax.jit(
-        run,
-        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("data", None))),
-        out_shardings=NamedSharding(mesh, P("data")),
-    )(params, prefix)
+    mesh = serving_mesh(8)
+    sharded = beam_search_sharded(params, cfg, prefix, bp, mesh, jnp.float32)
 
     np.testing.assert_array_equal(np.asarray(ref.tokens), np.asarray(sharded.tokens))
     np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(sharded.scores),
                                atol=1e-5)
+
+    # Pallas kernel inside the shard_map (the real multi-chip TPU shape).
+    def run_flash(p, pe):
+        return beam_search_batched.__wrapped__(p, cfg, pe, bp,
+                                               dtype=jnp.float32, flash=True)
+
+    flashed = jax.jit(jax.shard_map(
+        run_flash, mesh=mesh, axis_names={"data"},
+        in_specs=(P(), P("data")), out_specs=P("data"),
+        check_vma=False))(params, prefix)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(flashed.tokens))
 
 
 def test_maybe_initialize_single_host_noop(monkeypatch):
