@@ -99,9 +99,13 @@ def _measure_beam(lm_name: str, batch: int, prefix_length: int = 10,
 BASELINE_EMBEDS_PER_SEC = 10_000.0  # BASELINE.json north star, ViT-B/32
 
 
-def _measure_embeds(batch: int = 256, rounds: int = 4, trials: int = TRIALS):
+def _measure_embeds(batch: int | None = None, rounds: int = 4,
+                    trials: int = TRIALS):
     """ViT-B/32 image embeds/s (the second north star) — driver-tracked here
-    so regressions show in BENCH_r*.json, not only docs."""
+    so regressions show in BENCH_r*.json, not only docs.  Batch override:
+    CLIPCAP_BENCH_EMBEDS_BATCH (sweep harness: benchmarks/bench_clip.py)."""
+    if batch is None:
+        batch = int(os.environ.get("CLIPCAP_BENCH_EMBEDS_BATCH", 256))
     from clipcap_tpu.models.clip_vit import clip_encode_image, get_clip_config, init_clip
 
     cfg = get_clip_config("ViT-B/32")
@@ -124,7 +128,7 @@ def _measure_embeds(batch: int = 256, rounds: int = 4, trials: int = TRIALS):
         eps = batch * rounds / dt
         per_trial.append(round(eps, 1))
         print(f"ViT-B/32 b{batch} trial: {eps:.0f} embeds/s", file=sys.stderr)
-    return max(per_trial), per_trial
+    return max(per_trial), per_trial, batch
 
 
 def main() -> None:
@@ -146,12 +150,12 @@ def main() -> None:
         out["error"] = f"{type(e).__name__}: {e}"[:300]
 
     try:
-        emb_best, emb_trials = _measure_embeds()
+        emb_best, emb_trials, emb_batch = _measure_embeds()
         out["embeds"] = {
             "value": round(emb_best, 1),
             "unit": "embeds/s",
             "model": "ViT-B/32",
-            "batch": 256,
+            "batch": emb_batch,
             "vs_baseline": round(emb_best / BASELINE_EMBEDS_PER_SEC, 3),
             "trials": emb_trials,
         }

@@ -60,6 +60,11 @@ class BeamParams:
     # (docs/performance.md).  Off by default — logits move by int8
     # rounding, so parity runs leave this unset.
     int8_kv: bool = False
+    # Tile-major cache layout A/B (init_kv_cache ``tile_major``): one
+    # contiguous HBM chunk per (row, u-tile) read instead of H strided
+    # slices.  None → env CLIPCAP_CACHE_TILE_MAJOR.  Token-identical
+    # either way; bf16 only (ignored under int8_kv/consolidation).
+    tile_major: "bool | None" = None
     # Consolidate the converged beam prefix into a 1-slot-per-position
     # shared cache every this many steps (0 disables).  Surviving beams
     # share ancestors, so old positions collapse from K cache slots to 1.
@@ -130,7 +135,7 @@ def beam_search_batched(
                           params["wte"].T.astype(hidden0.dtype),
                           precision=precision)
         cache = init_kv_cache(cfg, B, N, dtype=dtype, beam_size=K,
-                              int8=bp.int8_kv)
+                              int8=bp.int8_kv, tile_major=False)
         logp0 = jax.nn.log_softmax(
             logits0.astype(jnp.float32) / t, axis=-1)            # [R, V]
         anc_len = N
@@ -142,7 +147,8 @@ def beam_search_batched(
         # P*(K-1) fewer slots through the same single kernel pass.
         shared = None
         cache = init_kv_cache(cfg, B, N, dtype=dtype, beam_size=K,
-                              int8=bp.int8_kv, prefix_slots=P)
+                              int8=bp.int8_kv, prefix_slots=P,
+                              tile_major=bp.tile_major)
         hidden0, cache = gpt2_apply(
             params, cfg, inputs_embeds=prefix_embeds.astype(dtype),
             kv_cache=cache, cache_index=jnp.int32(0), dtype=dtype,
@@ -163,7 +169,7 @@ def beam_search_batched(
         shared = None
         pe = jnp.repeat(prefix_embeds.astype(dtype), K, axis=0)  # [B, P, D]
         cache = init_kv_cache(cfg, B, total, dtype=dtype, beam_size=K,
-                              int8=bp.int8_kv)
+                              int8=bp.int8_kv, tile_major=bp.tile_major)
         hidden0, cache = gpt2_apply(
             params, cfg, inputs_embeds=pe, kv_cache=cache,
             cache_index=jnp.int32(0), dtype=dtype, precision=precision,

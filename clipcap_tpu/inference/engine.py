@@ -50,6 +50,10 @@ class SamplingParams:
     # int8 KV cache serving (see BeamParams.int8_kv): halves the decode-
     # attention cache stream; off by default for parity.
     int8_kv: bool = False
+    # Tile-major cache layout A/B (init_kv_cache ``tile_major``): one
+    # contiguous HBM chunk per (row, u-tile) read.  None → env
+    # CLIPCAP_CACHE_TILE_MAJOR.  Exact either way.
+    tile_major: "bool | None" = None
 
 
 class DecodeResult(NamedTuple):
@@ -122,7 +126,8 @@ def decode(
     N = sp.max_new_tokens
     total = P + N
 
-    cache = init_kv_cache(cfg, B, total, dtype=dtype, int8=sp.int8_kv)
+    cache = init_kv_cache(cfg, B, total, dtype=dtype, int8=sp.int8_kv,
+                          tile_major=sp.tile_major)
 
     # Prefill the whole prefix in one pass; only the LAST position's logits
     # feed the first sampling step, so project one row instead of the full

@@ -27,6 +27,7 @@ Weight import from HF checkpoints lives in ``clipcap_tpu.models.hf_import``.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -178,7 +179,8 @@ def _beam_cache_slots(n: int, quantum: int) -> int:
 
 def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
                   beam_size: Optional[int] = None, int8: bool = False,
-                  prefix_slots: int = 0):
+                  prefix_slots: int = 0,
+                  tile_major: Optional[bool] = None):
     """Preallocated fixed-shape KV cache, K and V **interleaved**.
 
     One buffer per layer, ``[batch, n_head, slots, 2*head_dim]`` — K in
@@ -223,7 +225,20 @@ def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
     ``slots`` is ``max_len`` (or ``beam_size*max_len``) rounded up to
     ``CACHE_SLOT_QUANTUM`` so the kernel's u-tiles divide the buffer; the
     padding is never written and the causal masks hide it.
+
+    ``tile_major`` (default: env ``CLIPCAP_CACHE_TILE_MAJOR``) stores the
+    same cache as ``[batch, n_tiles, n_head, u_tile, 2*head_dim]`` — the
+    kernel's u-tile becomes the major axis, so ONE grid step's per-row
+    read (all heads x one u-tile) is a single CONTIGUOUS HBM chunk
+    (~H*u_tile*256 bytes) instead of H strided u_tile-slices.  An A/B
+    for the decode kernel's effective stream rate: the weight stream
+    (XLA matmuls, MB-scale contiguous reads) measures ~860 GB/s on v5e
+    while the strided cache stream measures ~315 — this layout tests
+    whether descriptor granularity is the difference.  bf16 only; the
+    consolidated/int8 forms keep the strided layout.
     """
+    if tile_major is None:
+        tile_major = os.environ.get("CLIPCAP_CACHE_TILE_MAJOR", "0") == "1"
     # int8 rows pack (32, 128) tiles — round their slots to the u-tile
     # maximum so the kernel's 128-slot tiles stay packing-aligned.
     quantum = 128 if int8 else CACHE_SLOT_QUANTUM
@@ -251,6 +266,12 @@ def init_kv_cache(cfg: GPT2Config, batch: int, max_len: int, dtype=jnp.bfloat16,
              jnp.zeros(shape[:3], dtype=jnp.float32))
             for _ in range(cfg.n_layer)
         )
+    if tile_major:
+        from clipcap_tpu.ops.flash_decode import _pick_u_tile
+
+        u_tile = _pick_u_tile(shape[2])
+        shape = (shape[0], shape[2] // u_tile, cfg.n_head, u_tile,
+                 2 * cfg.head_dim)
     return tuple(jnp.zeros(shape, dtype=dtype) for _ in range(cfg.n_layer))
 
 
@@ -368,6 +389,37 @@ def _quantize_kv(new_kv: Array, Dh: int):
     return q, sk, sv
 
 
+def _tm_slots(buf: Array) -> int:
+    """Logical slot count of a tile-major cache buffer
+    (``init_kv_cache(..., tile_major=True)``: [B, T, H, u_tile, 2*Dh])."""
+    return buf.shape[1] * buf.shape[3]
+
+
+def _tm_logical(buf: Array) -> Array:
+    """[B, T, H, u, 2*Dh] → the logical [B, H, T*u, 2*Dh] view — a
+    MATERIALIZING transpose, for the XLA-fallback/parity path only (the
+    flash kernel reads the tile-major buffer natively)."""
+    B, T, H, u, D2 = buf.shape
+    return buf.transpose(0, 2, 1, 3, 4).reshape(B, H, T * u, D2)
+
+
+def _tm_write(buf: Array, new_flat: Array, slot0) -> Array:
+    """Write ``new_flat`` [B, H, S, 2*Dh] at logical slots
+    [slot0, slot0+S) of a tile-major buffer: one single-slot in-place
+    update per slot, since a run of S slots may straddle a u-tile
+    boundary (slot s lives at tile s//u, offset s%u).  S is small — the
+    K beam rows of one decode step, or the P prefix slots of the one
+    prefill — so the unrolled updates stay cheap next to the cache read."""
+    u = buf.shape[3]
+    new_flat = new_flat.astype(buf.dtype)
+    for s in range(new_flat.shape[2]):
+        slot = slot0 + s
+        row = jax.lax.dynamic_slice_in_dim(new_flat, s, 1, axis=2)
+        buf = jax.lax.dynamic_update_slice(
+            buf, row[:, None], (0, slot // u, 0, slot % u, 0))
+    return buf
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -457,9 +509,13 @@ def _cached_block(
     int8kv = isinstance(ckv, tuple)
     if int8kv:
         ckv, csk, csv = ckv
+    # 5-D buffer = tile-major layout (init_kv_cache ``tile_major``): the
+    # flash kernel reads it natively; writes go slot-by-slot; the XLA
+    # fallback transposes back to the logical [B, H, U, 2*Dh] view.
+    tm = not int8kv and ckv.ndim == 5
 
     if beam_size is None:
-        T = ckv.shape[2]
+        T = _tm_slots(ckv) if tm else ckv.shape[2]
         q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)  # [B,H,S,Dh]
         k = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
@@ -469,6 +525,8 @@ def _cached_block(
             ckv = jax.lax.dynamic_update_slice(ckv, q8, (0, 0, cache_index, 0))
             csk = jax.lax.dynamic_update_slice(csk, sk, (0, 0, cache_index))
             csv = jax.lax.dynamic_update_slice(csv, sv, (0, 0, cache_index))
+        elif tm:
+            ckv = _tm_write(ckv, new_kv, cache_index)
         else:
             ckv = jax.lax.dynamic_update_slice(
                 ckv, new_kv.astype(ckv.dtype), (0, 0, cache_index, 0))
@@ -490,14 +548,15 @@ def _cached_block(
             attn = flash_decode(q, ckv, mask, u_valid=cache_index + 1,
                                 scales=(csk, csv) if int8kv else None)
         else:
+            src = _tm_logical(ckv) if tm else ckv
             if int8kv:
-                kx = (ckv[..., :Dh].astype(jnp.float32)
+                kx = (src[..., :Dh].astype(jnp.float32)
                       * csk[..., None]).astype(x.dtype)
-                vx = (ckv[..., Dh:].astype(jnp.float32)
+                vx = (src[..., Dh:].astype(jnp.float32)
                       * csv[..., None]).astype(x.dtype)
             else:
-                kx = ckv[..., :Dh].astype(x.dtype)
-                vx = ckv[..., Dh:].astype(x.dtype)
+                kx = src[..., :Dh].astype(x.dtype)
+                vx = src[..., Dh:].astype(x.dtype)
             logits = jnp.einsum("bhsd,bhtd->bhst", q, kx,
                                 precision=precision) * scale
             logits = logits.astype(jnp.float32)
@@ -532,6 +591,8 @@ def _cached_block(
             ckv = jax.lax.dynamic_update_slice(ckv, q8, (0, 0, slot0, 0))
             csk = jax.lax.dynamic_update_slice(csk, sk, (0, 0, slot0))
             csv = jax.lax.dynamic_update_slice(csv, sv, (0, 0, slot0))
+        elif tm:
+            ckv = _tm_write(ckv, new_flat, slot0)
         else:
             ckv = jax.lax.dynamic_update_slice(
                 ckv, new_flat.astype(ckv.dtype), (0, 0, slot0, 0)
@@ -560,6 +621,9 @@ def _cached_block(
             sh_int8 = isinstance(shared, tuple)
             if sh_int8:
                 shared, ssk, ssv = shared
+            assert not (tm and shared is not None), (
+                "tile-major cache does not compose with the consolidated "
+                "shared-prefix form (beam.py pins tile_major=False there)")
             if flash:
                 if shared is not None:
                     # Fused two-phase kernel: shared-prefix tiles then live
@@ -602,7 +666,8 @@ def _cached_block(
                         return kx, vx
                     return buf[..., :Dh].astype(x.dtype), buf[..., Dh:].astype(x.dtype)
 
-                ku, vu = deq(ckv, csk if int8kv else None,
+                ku, vu = deq(_tm_logical(ckv) if tm else ckv,
+                             csk if int8kv else None,
                              csv if int8kv else None, int8kv)
                 la = jnp.einsum("rhkd,rhud->rhku", q1, ku,
                                 precision=precision).astype(jnp.float32) * scale
@@ -732,7 +797,7 @@ def gpt2_apply(
         # flash u-tile quantum (init_kv_cache) — padding is causally masked.
         # int8 caches are (rows, k-scales, v-scales) tuples per layer.
         _buf0 = kv_cache[0][0] if isinstance(kv_cache[0], tuple) else kv_cache[0]
-        slots = _buf0.shape[2]
+        slots = _tm_slots(_buf0) if _buf0.ndim == 5 else _buf0.shape[2]
         offset = cache_index
         if S > 1:
             # Cached prefill attends block-locally (the zero-filled cache is

@@ -178,9 +178,12 @@ def _kernel(b_ref, q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
     @pl.when(active)
     def _accumulate():
         mask_tile = mask_ref[:, 0]                       # [Gm, K, UT]
-        UT = kv_ref.shape[2]
+        UT = kv_ref.shape[-2]
         # Merge the leading (G, H) dims: layout-free (tiling is on the last
         # two dims) and Mosaic's matmul supports at most ONE batch dim.
+        # A 5-D kv_ref is the TILE-MAJOR cache ([G, 1, H, UT, 2*Dh] — one
+        # contiguous HBM chunk per row, see init_kv_cache); the reshape
+        # drops the singleton tile dim, same element order either way.
         q = q_ref[:].reshape(G * H, K, 2 * Dh)
         kv = kv_ref[:].reshape(G * H, UT, 2 * Dh)
         if int8:
@@ -244,7 +247,8 @@ def _flash_call(q_pad: Array, kv: Array, mask: Array,
     G = _row_block(R, H, u_tile, Dh, kv.dtype.itemsize, max_block_rows)
     int8 = scales is not None
 
-    n_tiles = kv.shape[2] // u_tile
+    tile_major = kv.ndim == 5             # [R, n_tiles, H, u_tile, 2*Dh]
+    n_tiles = kv.shape[1] if tile_major else kv.shape[2] // u_tile
     nb = R // G
     lo_b = jnp.min(lo_t.reshape(nb, G), axis=1)
     hi_b = jnp.max(hi_t.reshape(nb, G), axis=1)
@@ -258,12 +262,21 @@ def _flash_call(q_pad: Array, kv: Array, mask: Array,
     def tile_ix(r, u, b):
         return jnp.minimum(b[r] + u, b[nb + r] - 1)
 
+    if tile_major:
+        # One T-index slice of the [R, T, H, u_tile, 2*Dh] parent: each
+        # row's (H, u_tile, 2*Dh) chunk is CONTIGUOUS in HBM — the DMA is
+        # G fat chunks instead of G*H strided u_tile-slices.
+        kv_spec = pl.BlockSpec((G, 1, H, u_tile, 2 * Dh),
+                               lambda r, u, b: (r, tile_ix(r, u, b), 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        kv_spec = pl.BlockSpec((G, H, u_tile, 2 * Dh),
+                               lambda r, u, b: (r, 0, tile_ix(r, u, b), 0),
+                               memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((G, H, K, 2 * Dh), lambda r, u, b: (r, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, H, u_tile, 2 * Dh),
-                     lambda r, u, b: (r, 0, tile_ix(r, u, b), 0),
-                     memory_space=pltpu.VMEM),
+        kv_spec,
         # Tile-major mask [Rm, n_tiles, K, UT]: the last two block dims
         # span the array, satisfying Mosaic's tiling rule for any UT.
         pl.BlockSpec((G if Rm > 1 else 1, 1, K, u_tile),
@@ -378,11 +391,19 @@ def flash_decode(q: Array, kv: Array, mask: Array,
     → [R, H, K, Dh] in q's dtype, or the ``(m, l, acc)`` partials.
     """
     R, H, K, Dh = q.shape
-    U = kv.shape[2]
+    if kv.ndim == 5:
+        # Tile-major cache [R, n_tiles, H, u_tile, 2*Dh] (init_kv_cache
+        # tile_major mode): the tile size is baked into the layout.
+        assert scales is None and carry is None and not return_carry, (
+            "tile-major cache: int8/two-phase forms not supported")
+        u_tile = kv.shape[3]
+        U = kv.shape[1] * u_tile
+    else:
+        U = kv.shape[2]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    if u_tile is None or U % u_tile or u_tile % _SUBLANE:
+    if kv.ndim != 5 and (u_tile is None or U % u_tile or u_tile % _SUBLANE):
         u_tile = _pick_u_tile(U)
     max_t = U // u_tile
     if u_valid is None:

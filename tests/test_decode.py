@@ -368,3 +368,61 @@ def test_beam_folded_prefix_parity():
                                    np.asarray(ref.scores), atol=1e-4)
         np.testing.assert_allclose(np.asarray(got.seq_lengths),
                                    np.asarray(ref.seq_lengths), atol=1e-6)
+
+
+def test_tile_major_cache_parity():
+    """The tile-major cache layout (``init_kv_cache(tile_major=True)``:
+    ``[B, n_tiles, H, u_tile, 2*Dh]`` — one CONTIGUOUS HBM chunk per
+    (row, u-tile) kernel read) must be token-identical to the default
+    strided layout on every decode path: beam folded/replicated prefix and
+    batched sampling, with the flash kernel (interpret mode here) and the
+    XLA fallback.  Multi-tile buffers so decode-step writes straddle
+    u-tile boundaries."""
+    import dataclasses
+
+    import jax
+
+    from clipcap_tpu.inference.beam import BeamParams, beam_search_batched
+    from clipcap_tpu.inference.engine import SamplingParams, decode
+    from clipcap_tpu.models.gpt2 import GPT2Config, init_gpt2
+
+    cfg = GPT2Config(vocab_size=211, n_positions=256, n_embd=64, n_layer=2,
+                     n_head=4, name="t")
+    params = init_gpt2(cfg)
+    rng = np.random.default_rng(5)
+    pre = jnp.asarray(rng.normal(size=(4, 4, 64)) * 0.02, jnp.float32)
+
+    # stop_token outside the vocab: all 40 steps run, spanning >1 u-tile
+    # (beam cache: 4 + 5*40 slots).
+    bp = BeamParams(beam_size=5, max_new_tokens=40, stop_token=2111,
+                    tile_major=False)
+    sp = SamplingParams(max_new_tokens=40, mode="greedy", stop_token=2111,
+                        tile_major=False)
+    for flash in (False, True):
+        ref_b = beam_search_batched(params, cfg, pre, bp,
+                                    dtype=jnp.float32, flash=flash)
+        got_b = beam_search_batched(params, cfg, pre,
+                                    dataclasses.replace(bp, tile_major=True),
+                                    dtype=jnp.float32, flash=flash)
+        np.testing.assert_array_equal(np.asarray(ref_b.tokens),
+                                      np.asarray(got_b.tokens),
+                                      err_msg=f"beam flash={flash}")
+        np.testing.assert_allclose(np.asarray(ref_b.scores),
+                                   np.asarray(got_b.scores), atol=1e-5)
+        ref_d = decode(params, cfg, pre, jax.random.PRNGKey(0), sp,
+                       dtype=jnp.float32, flash=flash)
+        got_d = decode(params, cfg, pre, jax.random.PRNGKey(0),
+                       dataclasses.replace(sp, tile_major=True),
+                       dtype=jnp.float32, flash=flash)
+        np.testing.assert_array_equal(np.asarray(ref_d.tokens),
+                                      np.asarray(got_d.tokens),
+                                      err_msg=f"decode flash={flash}")
+
+    # Replicated-prefix beam layout under tile-major too.
+    repl = dataclasses.replace(bp, fold_prefix=False)
+    a = beam_search_batched(params, cfg, pre, repl, dtype=jnp.float32,
+                            flash=True)
+    b = beam_search_batched(params, cfg, pre,
+                            dataclasses.replace(repl, tile_major=True),
+                            dtype=jnp.float32, flash=True)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))

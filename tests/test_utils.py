@@ -139,7 +139,8 @@ def test_bench_main_fault_isolation(monkeypatch, capsys):
         raise RuntimeError("tunnel drop")
 
     monkeypatch.setattr(bench, "_measure_beam", boom)
-    monkeypatch.setattr(bench, "_measure_embeds", lambda *a, **k: (123.0, [123.0]))
+    monkeypatch.setattr(bench, "_measure_embeds",
+                        lambda *a, **k: (123.0, [123.0], 256))
     monkeypatch.delenv("CLIPCAP_BENCH_SKIP_XL", raising=False)
     bench.main()
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
