@@ -1,10 +1,13 @@
 """GPT-2-family beam-5 throughput: R (batch), weight/cache residency modes.
 
-Usage: bench_gpt2_xl.py [R] [trials] [int8|fp32|int8kv|tm] [model]
+Usage: bench_gpt2_xl.py [R] [trials] [int8|fp32|int8kv|tm|man|mantm] [model]
 
 ``tm`` = tile-major cache layout A/B (BeamParams.tile_major: one
 contiguous HBM chunk per (row, u-tile) kernel read — token-identical,
 tests whether the decode stream rate is descriptor-granularity bound).
+``man`` = manual-pipeline kernel form (CLIPCAP_FLASH_MANUAL: in-kernel
+tile loop, explicit double-buffered DMA — tests whether the rate is
+auto-pipeline overhead).  ``mantm`` = both.
 """
 import sys
 import time
@@ -29,7 +32,10 @@ TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 INT8 = len(sys.argv) > 3 and sys.argv[3] == "int8"
 FP32 = len(sys.argv) > 3 and sys.argv[3] == "fp32"
 INT8KV = len(sys.argv) > 3 and sys.argv[3] == "int8kv"
-TM = len(sys.argv) > 3 and sys.argv[3] == "tm"
+TM = len(sys.argv) > 3 and sys.argv[3] in ("tm", "mantm")
+MAN = len(sys.argv) > 3 and sys.argv[3] in ("man", "mantm")
+if MAN:
+    __import__("os").environ["CLIPCAP_FLASH_MANUAL"] = "1"
 
 MODEL = sys.argv[4] if len(sys.argv) > 4 else "gpt2-xl"
 cfg = get_gpt2_config(MODEL)
@@ -56,6 +62,6 @@ for trial in range(TRIALS):
     res = beam_search_batched(params, cfg, prefix + trial * 1e-3, bp, dtype=DT)
     float(jnp.sum(res.tokens[..., :1]))
     dt = time.perf_counter() - t0
-    print(f"{MODEL} R={R}{' int8' if INT8 else (' fp32' if FP32 else (' int8kv' if INT8KV else (' tm' if TM else '')))} trial {trial}: {dt*1000:.0f} ms -> {R/dt:.1f} captions/s", flush=True)
+    print(f"{MODEL} R={R}{' int8' if INT8 else (' fp32' if FP32 else (' int8kv' if INT8KV else ((' man' if MAN else '') + (' tm' if TM else ''))))} trial {trial}: {dt*1000:.0f} ms -> {R/dt:.1f} captions/s", flush=True)
     best = min(best, dt)
-print(f"{MODEL} R={R}{' int8' if INT8 else (' fp32' if FP32 else (' int8kv' if INT8KV else (' tm' if TM else '')))} best: {R/best:.1f} captions/s, {best/67*1000:.2f} ms/step", flush=True)
+print(f"{MODEL} R={R}{' int8' if INT8 else (' fp32' if FP32 else (' int8kv' if INT8KV else ((' man' if MAN else '') + (' tm' if TM else ''))))} best: {R/best:.1f} captions/s, {best/67*1000:.2f} ms/step", flush=True)

@@ -352,7 +352,8 @@ def flash_decode(q: Array, kv: Array, mask: Array,
                  carry=None,
                  return_carry: bool = False,
                  u_tile: int | None = None,
-                 max_block_rows: int | None = None):
+                 max_block_rows: int | None = None,
+                 manual: bool | None = None):
     """One decode step of masked attention over an interleaved KV cache.
 
     q:    [R, H, K, Dh]   — this step's queries (K beams per group; K=1 for
@@ -424,9 +425,148 @@ def flash_decode(q: Array, kv: Array, mask: Array,
     q_pad = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
     Rm = mask.shape[0]
     mask = mask if Rm > 1 else jnp.broadcast_to(mask, (1, K, U))
+    if manual is None:
+        manual = _os.environ.get("CLIPCAP_FLASH_MANUAL", "0") == "1"
+    if manual and scales is None and carry is None and not return_carry:
+        # Manual-pipeline form (see _manual_kernel): in-kernel tile loop
+        # with explicit double-buffered DMA from the HBM-resident cache.
+        return _manual_call(q_pad, kv, mask, lo, hi, u_tile, interpret,
+                            max_block_rows=max_block_rows)
     return _flash_call(q_pad, kv, mask, lo, hi, u_tile, interpret,
                        scales=scales, carry=carry, carry_out=return_carry,
                        max_block_rows=max_block_rows)
+
+
+def _manual_kernel(b_ref, q_ref, mask_ref, kv_hbm, out_ref, buf, sem,
+                   *, scale: float, Dh: int, G: int, u_tile: int,
+                   tile_major: bool):
+    """Manual-pipeline decode attention: ONE grid step per row block; the
+    u-tile loop runs INSIDE the kernel over an HBM-resident cache with
+    explicitly double-buffered ``make_async_copy`` DMAs (the paged-
+    attention structure), instead of Mosaic's (row_block, u_tile) grid
+    pipeline.
+
+    Why: the auto-pipeline form measures an effective cache stream of
+    ~315 GB/s on v5e while XLA's MB-scale weight reads hit ~860 — if the
+    gap is per-grid-step pipeline overhead (bookkeeping + fixed DMA wait
+    per (block, tile) step with only ~µs of compute to hide it), moving
+    the tile walk in-kernel removes those boundaries: iteration ``t``
+    starts tile ``t+1``'s DMA into the other buffer slot before waiting
+    on its own, so the DMA engine always has a fetch in flight.
+
+    b_ref:   [2*NB] int32 scalar prefetch — block r's [first, one-past-
+             last) valid u-tile, exactly as ``_kernel``.
+    q_ref:   [G, H, K, 2*Dh] VMEM (query, V-half zero-padded).
+    mask_ref:[Gm, n_tiles, K, u_tile] VMEM — ALL tiles of the block's
+             additive mask (tile-major, small).
+    kv_hbm:  the FULL cache in ANY/HBM memory space — strided
+             ``[R, H, U, 2*Dh]`` or tile-major ``[R, T, H, u_tile, 2*Dh]``
+             (``tile_major``); tiles are DMA'd on demand.
+    buf/sem: VMEM scratch [2, G, H, u_tile, 2*Dh] + 2 DMA semaphores.
+    """
+    r = pl.program_id(0)
+    nb = pl.num_programs(0)
+    lo = b_ref[r]
+    n = b_ref[nb + r] - lo
+    _, H, K, Dh2 = q_ref.shape
+
+    def copy(t, slot):
+        if tile_major:
+            src = kv_hbm.at[pl.ds(r * G, G), lo + t]
+        else:
+            src = kv_hbm.at[pl.ds(r * G, G), :,
+                            pl.ds((lo + t) * u_tile, u_tile)]
+        return pltpu.make_async_copy(src, buf.at[slot], sem.at[slot])
+
+    copy(0, 0).start()
+    q = q_ref[:].reshape(G * H, K, Dh2)
+
+    def body(t, carry):
+        m_old, l_old, acc_old = carry
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < n)
+        def _prefetch():
+            copy(t + 1, 1 - slot).start()
+
+        copy(t, slot).wait()
+        # Both layouts land as [G, H, u_tile, 2*Dh] in the buffer slot.
+        kv = buf[slot].reshape(G * H, u_tile, Dh2)
+        mask_tile = mask_ref[:, pl.dslice(lo + t, 1)][:, 0]       # [Gm,K,UT]
+
+        logits = jax.lax.dot_general(
+            q, kv, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(G, H, K, u_tile) * scale
+        logits = logits + mask_tile[:, None]
+
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_old - m_new)
+        w = jnp.exp(logits - m_new[..., None])
+        l_new = l_old * alpha + jnp.sum(w, axis=-1)
+        wv = jax.lax.dot_general(
+            w.reshape(G * H, K, u_tile).astype(q_ref.dtype), kv,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(G, H, K, Dh2)
+        acc_new = acc_old * alpha[..., None] + wv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((G, H, K), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((G, H, K), jnp.float32)
+    acc0 = jnp.zeros((G, H, K, Dh2), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n, body, (m0, l0, acc0))
+    denom = jnp.maximum(l, 1e-30)[..., None]
+    out_ref[:] = (acc / denom)[..., Dh:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("u_tile", "interpret",
+                                             "max_block_rows"))
+def _manual_call(q_pad: Array, kv: Array, mask: Array,
+                 lo_t: Array, hi_t: Array,
+                 u_tile: int, interpret: bool,
+                 max_block_rows: int | None = None):
+    """Launch the manual-pipeline kernel (see ``_manual_kernel``)."""
+    R, H, K, Dh2 = q_pad.shape
+    Dh = Dh2 // 2
+    Rm = mask.shape[0]
+    scale = 1.0 / np.sqrt(Dh)
+    G = _row_block(R, H, u_tile, Dh, kv.dtype.itemsize, max_block_rows)
+    tile_major = kv.ndim == 5
+    n_tiles = kv.shape[1] if tile_major else kv.shape[2] // u_tile
+    nb = R // G
+    lo_b = jnp.min(lo_t.reshape(nb, G), axis=1)
+    hi_b = jnp.max(hi_t.reshape(nb, G), axis=1)
+    hi_b = jnp.maximum(hi_b, lo_b + 1)
+    b_arr = jnp.concatenate([lo_b, hi_b]).astype(jnp.int32)
+
+    mask4 = mask.reshape(Rm, K, n_tiles, u_tile).transpose(0, 2, 1, 3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((G, H, K, 2 * Dh), lambda r, b: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G if Rm > 1 else 1, n_tiles, K, u_tile),
+                         (lambda r, b: (r, 0, 0, 0)) if Rm > 1
+                         else (lambda r, b: (0, 0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((G, H, K, Dh), lambda r, b: (r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, H, u_tile, 2 * Dh), kv.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_manual_kernel, scale=scale, Dh=Dh, G=G,
+                          u_tile=u_tile, tile_major=tile_major),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, H, K, Dh), q_pad.dtype),
+        interpret=interpret,
+    )(b_arr, q_pad, mask4, kv)
 
 
 def _fused_kernel(b_ref, q_ref, skv_ref, smask_ref, lkv_ref, lmask_ref,

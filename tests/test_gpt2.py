@@ -616,3 +616,46 @@ def test_head_major_qkv_packing_parity():
     for a, b in zip(jax.tree_util.tree_leaves(back),
                     jax.tree_util.tree_leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_decode_manual_pipeline_matches_auto():
+    """The manual-pipeline kernel form (``flash_decode(..., manual=True)``:
+    in-kernel tile loop with explicitly double-buffered async DMA from the
+    HBM-resident cache — ``_manual_kernel``) must match the auto-pipeline
+    kernel on both cache layouts (strided 4-D and tile-major 5-D), at
+    every u_valid boundary, with broadcast and per-row masks."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.models.gpt2 import NEG_INF
+    from clipcap_tpu.ops.flash_decode import flash_decode
+
+    rng = np.random.default_rng(11)
+    R, H, K, Dh, U = 4, 3, 5, 64, 192                 # u_tile 96, 2 tiles
+    ut = 96
+    q = jnp.asarray(rng.normal(size=(R, H, K, Dh)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(R, H, U, 2 * Dh)), jnp.float32)
+    kv5 = kv.reshape(R, H, U // ut, ut, 2 * Dh).transpose(0, 2, 1, 3, 4)
+
+    for u_valid in (1, 95, 96, 97, 191, 192):
+        vis = np.zeros((R, K, U), np.float32)
+        vis[:, :, u_valid:] = NEG_INF
+        mask = jnp.asarray(vis)
+        ref = flash_decode(q, kv, mask, u_valid=jnp.int32(u_valid))
+        for form, kvx in (("strided", kv), ("tile-major", kv5)):
+            got = flash_decode(q, kvx, mask, u_valid=jnp.int32(u_valid),
+                               manual=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-6, rtol=1e-5,
+                err_msg=f"manual {form} u_valid={u_valid}")
+
+    # Per-row (ancestry-shaped) masks through the Rm > 1 spec path.
+    vis = (np.asarray(rng.normal(size=(R, K, U)) > 0.4, np.float32)
+           * NEG_INF)
+    vis[:, :, 0] = 0.0
+    mask = jnp.asarray(vis)
+    ref = flash_decode(q, kv, mask, u_valid=jnp.int32(150))
+    for kvx in (kv, kv5):
+        got = flash_decode(q, kvx, mask, u_valid=jnp.int32(150), manual=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-5)
