@@ -439,7 +439,7 @@ def flash_decode(q: Array, kv: Array, mask: Array,
 
 def _manual_kernel(b_ref, q_ref, mask_ref, kv_hbm, out_ref, buf, sem,
                    *, scale: float, Dh: int, G: int, u_tile: int,
-                   tile_major: bool):
+                   tile_major: bool, n_slots: int):
     """Manual-pipeline decode attention: ONE grid step per row block; the
     u-tile loop runs INSIDE the kernel over an HBM-resident cache with
     explicitly double-buffered ``make_async_copy`` DMAs (the paged-
@@ -478,16 +478,23 @@ def _manual_kernel(b_ref, q_ref, mask_ref, kv_hbm, out_ref, buf, sem,
                             pl.ds((lo + t) * u_tile, u_tile)]
         return pltpu.make_async_copy(src, buf.at[slot], sem.at[slot])
 
-    copy(0, 0).start()
+    # Pre-start the first n_slots-1 fetches (depth-S buffering: iteration
+    # t always has the next S-1 tiles' DMAs in flight).
+    for k in range(n_slots - 1):
+        @pl.when(k < n)
+        def _prestart(k=k):
+            copy(k, k).start()
+
     q = q_ref[:].reshape(G * H, K, Dh2)
 
     def body(t, carry):
         m_old, l_old, acc_old = carry
-        slot = jax.lax.rem(t, 2)
+        slot = jax.lax.rem(t, n_slots)
+        nxt = t + n_slots - 1
 
-        @pl.when(t + 1 < n)
+        @pl.when(nxt < n)
         def _prefetch():
-            copy(t + 1, 1 - slot).start()
+            copy(nxt, jax.lax.rem(nxt, n_slots)).start()
 
         copy(t, slot).wait()
         # Both layouts land as [G, H, u_tile, 2*Dh] in the buffer slot.
@@ -540,6 +547,10 @@ def _manual_call(q_pad: Array, kv: Array, mask: Array,
     hi_b = jnp.maximum(hi_b, lo_b + 1)
     b_arr = jnp.concatenate([lo_b, hi_b]).astype(jnp.int32)
 
+    # Buffering depth (2 = classic double buffering); deeper keeps more
+    # DMAs in flight to ride out latency jitter, at n_slots x the VMEM.
+    n_slots = max(2, int(_os.environ.get("CLIPCAP_FLASH_MANUAL_SLOTS", 2)))
+
     mask4 = mask.reshape(Rm, K, n_tiles, u_tile).transpose(0, 2, 1, 3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -556,13 +567,14 @@ def _manual_call(q_pad: Array, kv: Array, mask: Array,
         out_specs=pl.BlockSpec((G, H, K, Dh), lambda r, b: (r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, G, H, u_tile, 2 * Dh), kv.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, G, H, u_tile, 2 * Dh), kv.dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_manual_kernel, scale=scale, Dh=Dh, G=G,
-                          u_tile=u_tile, tile_major=tile_major),
+                          u_tile=u_tile, tile_major=tile_major,
+                          n_slots=n_slots),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, H, K, Dh), q_pad.dtype),
         interpret=interpret,
