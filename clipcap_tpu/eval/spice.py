@@ -32,14 +32,28 @@ Tuples = Set[Tuple[str, ...]]
 # Small closed classes for the chunker.
 ARTICLES = {"a", "an", "the", "some", "any", "this", "that", "these", "those",
             "his", "her", "its", "their", "our", "my", "your", "no", "each",
-            "every", "both", "few", "several", "many", "much", "two", "three",
-            "four", "five", "six", "seven", "eight", "nine", "ten"}
+            "every", "both", "few", "several", "many", "much"}
+# Numbers are NOT articles: CoreNLP's nummod becomes a SPICE attribute
+# ("two dogs" → (dogs, two)), so they stay content words and fall into the
+# NP's modifier slots like any other attribute.
+NUMBERS = {"two", "three", "four", "five", "six", "seven", "eight", "nine",
+           "ten"}
 PREPOSITIONS = {"in", "on", "at", "by", "with", "near", "under", "over",
                 "above", "below", "behind", "beside", "between", "among",
                 "around", "inside", "outside", "against", "along", "across",
                 "through", "onto", "into", "atop", "upon", "underneath",
                 "next", "of", "to", "from", "off", "past", "beneath",
-                "toward", "towards", "during", "throughout"}
+                "toward", "towards", "during", "throughout",
+                # collapsed multiword prepositions (the pre-pass joins the
+                # token runs below into one link token, matching CoreNLP's
+                # multiword nmod labels — 'front' must not chunk as a noun)
+                "in front of", "on top of", "next to", "close to"}
+# Token runs collapsed into single prepositional link tokens, longest first.
+MULTIWORD_PREPS = [("in", "front", "of"), ("on", "top", "of"),
+                   ("next", "to"), ("close", "to")]
+# Clause boundaries: the relation scan must not chain a verb across these
+# ("a dog runs WHILE a cat sleeps" is two clauses, not (dog, runs, cat)).
+CLAUSE_BREAKS = {"while"}
 COPULAS = {"is", "are", "was", "were", "be", "been", "being", "looks",
            "seems", "appears"}
 CONJUNCTIONS = {"and", "or"}
@@ -78,6 +92,12 @@ def _looks_like_adjective(word: str) -> bool:
         word.endswith(_ADJ_SUFFIXES) and word not in FUNCTION_WORDS
     )
 
+# -ing words that are overwhelmingly NOUNS in captions — the participle
+# heuristic's article guard only covers the directly-post-article position
+# ("a painting"), not "a brick BUILDING" or "an old PAINTING".
+ING_NOUNS = {"building", "painting", "ceiling", "railing", "awning",
+             "clothing", "icing", "frosting", "evening", "morning"}
+
 # Common caption verbs, INFLECTED forms only — base forms ("park", "top",
 # "watch", …) double as nouns far too often in captions to risk; captions
 # overwhelmingly use 3rd-person/past/participial forms anyway.
@@ -114,9 +134,32 @@ def _is_verb(word: str, prev_word: str | None) -> bool:
         return False
     if word in VERBS:
         return True
-    if word.endswith("ing") and len(word) > 4 and prev_word not in ARTICLES:
+    if (word.endswith("ing") and len(word) > 4 and prev_word not in ARTICLES
+            and word not in ING_NOUNS):
         return True
     return False
+
+
+# Irregular past participles that appear attributively in captions.
+_IRREGULAR_PARTICIPLES = {"broken", "fallen", "hidden", "frozen", "worn",
+                          "torn", "drawn"}
+
+
+def _attributive_participle(words: Sequence[str], j: int, n: int) -> bool:
+    """A PAST participle directly before a noun is an amod, not a relation
+    verb ("parked cars", "sliced bread") — CoreNLP tags these amod.  Only
+    past forms qualify: -ing verbs before bare nouns are usually transitive
+    with a bare-plural object ("a man riding horses")."""
+    w = words[j]
+    if not (w.endswith("ed") or w in _IRREGULAR_PARTICIPLES):
+        return False
+    if j + 1 >= n:
+        return False
+    nxt = words[j + 1]
+    return (nxt not in ARTICLES and nxt not in PREPOSITIONS
+            and nxt not in COPULAS and nxt not in CONJUNCTIONS
+            and nxt not in FUNCTION_WORDS and nxt not in CLAUSE_BREAKS
+            and nxt != "'s" and not _is_verb(nxt, w))
 
 
 def _looks_adjectival(word: str, next_word: str) -> bool:
@@ -139,6 +182,21 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
       NP COP ADJ                     → attribute(HEAD, ADJ)
     """
     words = [w for w in tokens if w]
+    # Collapse multiword prepositions into single link tokens ("in front
+    # of" etc. — CoreNLP emits them as one nmod label; without this,
+    # 'front' chunks as a noun object).
+    out: List[str] = []
+    i = 0
+    while i < len(words):
+        for run in MULTIWORD_PREPS:
+            if tuple(words[i:i + len(run)]) == run:
+                out.append(" ".join(run))
+                i += len(run)
+                break
+        else:
+            out.append(words[i])
+            i += 1
+    words = out
     tuples: Tuples = set()
 
     # Chunk into NPs and connectors.
@@ -151,11 +209,20 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
             chunks.append(("conj", w))
             i += 1
             continue
+        if w in CLAUSE_BREAKS:
+            chunks.append(("brk", w))
+            i += 1
+            continue
+        if w == "'s":
+            chunks.append(("poss", w))
+            i += 1
+            continue
         if w in PREPOSITIONS or w in COPULAS or (w in FUNCTION_WORDS and w not in ARTICLES):
             chunks.append(("link", w))
             i += 1
             continue
-        if _is_verb(w, words[i - 1] if i else None):
+        if (_is_verb(w, words[i - 1] if i else None)
+                and not _attributive_participle(words, i, n)):
             chunks.append(("link", w))
             i += 1
             continue
@@ -170,7 +237,9 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
         content = []
         while j < n and words[j] not in PREPOSITIONS and words[j] not in COPULAS \
                 and words[j] not in CONJUNCTIONS and words[j] not in FUNCTION_WORDS \
-                and not _is_verb(words[j], words[j - 1]):
+                and words[j] not in CLAUSE_BREAKS and words[j] != "'s" \
+                and (not _is_verb(words[j], words[j - 1])
+                     or _attributive_participle(words, j, n)):
             content.append(words[j])
             j += 1
         if content:
@@ -191,6 +260,23 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
             # bare function word not caught above
             chunks.append(("link", words[i]))
             i += 1
+
+    # Possessives: NP 's NP → the possessor is its own object related by
+    # "have" (CoreNLP scene graphs map nmod:poss that way), and the chunk
+    # stream continues with the possessed NP so later links attach to IT
+    # ("a man 's hat on a chair" → (man, have, hat) + (hat, on, chair)).
+    i = 0
+    while i + 2 < len(chunks):
+        if (chunks[i][0] == "np" and chunks[i + 1][0] == "poss"
+                and chunks[i + 2][0] == "np"):
+            p_head, p_mods = chunks[i][1]
+            tuples.add((p_head,))
+            for m in p_mods:
+                tuples.add((p_head, m))
+            tuples.add((p_head, "have", chunks[i + 2][1][0]))
+            del chunks[i:i + 2]
+            continue
+        i += 1
 
     # Coordinated attributes: an NP whose head is adjectival, joined by a
     # conjunction to a following NP, contributes its words as modifiers of
@@ -313,11 +399,21 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
         links: List[str] = []
         for b in range(a + 1, len(chunks)):
             kind, val = chunks[b]
-            if kind in ("link", "conj"):
+            if kind in ("link", "conj", "brk"):
                 if kind == "link" and val not in COPULAS:
                     links.append(val)  # type: ignore[arg-type]
-                if kind == "conj":
-                    break  # conjunction with no object NP: new clause
+                if kind in ("conj", "brk"):
+                    # VP coordination / gerund continuation: "smiling and
+                    # holding a balloon", "sitting while eating" — a verb
+                    # right after the boundary keeps the same subject with
+                    # a FRESH relation chain; anything else starts a new
+                    # clause.
+                    nxt = chunks[b + 1] if b + 1 < len(chunks) else None
+                    if (nxt is not None and nxt[0] == "link"
+                            and _is_verb(nxt[1], None)):
+                        links = []
+                        continue
+                    break
                 continue
             if kind == "np":
                 # Relation label priority: verb, then preposition, then last
@@ -358,7 +454,7 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
             continue
         has_object = False
         for b in range(a + 1, len(chunks)):
-            if chunks[b][0] == "conj":
+            if chunks[b][0] in ("conj", "brk"):
                 break
             if chunks[b][0] == "np":
                 has_object = True

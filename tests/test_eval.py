@@ -631,8 +631,8 @@ def test_spice_extractor_accuracy_floor():
          {("dog",), ("park",), ("dog", "brown"), ("park", "green"),
           ("dog", "runs", "park")}),
         ("two men playing frisbee on a sunny field",
-         {("men",), ("frisbee",), ("field",), ("field", "sunny"),
-          ("men", "playing", "frisbee")}),
+         {("men",), ("men", "two"), ("frisbee",), ("field",),
+          ("field", "sunny"), ("men", "playing", "frisbee")}),
         ("a cat sleeps on a red couch",
          {("cat",), ("couch",), ("couch", "red"), ("cat", "sleeps", "couch")}),
         ("a man and a woman riding horses on the beach",
@@ -801,7 +801,10 @@ def test_spice_extractor_heldout_accuracy():
     test_spice_extractor_accuracy_floor) pinned P>=0.85/R>=0.90; this set
     measured P=0.839/R=0.878 before the round-3 extensions and 1.00/1.00
     after — floors pinned at 0.95 to leave room for lexicon drift without
-    letting regressions through."""
+    letting regressions through.  (Current measurement ~0.996/0.992: the
+    compound-noun guard on asyndetic splits — "palm trees and a bench"
+    stays a compound — costs the genuinely ambiguous mass-noun list
+    "lettuce tomatoes and cheese", the right trade for caption text.)"""
     from clipcap_tpu.eval.porter import porter_stem
     from clipcap_tpu.eval.spice import extract_tuples
 
@@ -845,7 +848,8 @@ GOLD_HELDOUT = [
     ("a woman sitting on a wooden bench",
      {("woman",), ("bench",), ("bench", "wooden"), ("woman", "sitting", "bench")}),
     ("two birds flying over the water",
-     {("birds",), ("water",), ("birds", "flying", "water")}),
+     {("birds",), ("birds", "two"), ("water",),
+      ("birds", "flying", "water")}),
     ("a child playing with a toy truck",
      {("child",), ("truck",), ("truck", "toy"), ("child", "playing", "truck")}),
     ("a cat lying on a striped blanket",
@@ -968,8 +972,9 @@ GOLD_HELDOUT = [
      {("girl",), ("girl", "little"), ("cone",), ("cone", "ice"),
       ("cone", "cream"), ("girl", "holds", "cone")}),
     ("two zebras drinking water from a small pond",
-     {("zebras",), ("water",), ("pond",), ("pond", "small"),
-      ("zebras", "drinking", "water"), ("water", "from", "pond")}),
+     {("zebras",), ("zebras", "two"), ("water",), ("pond",),
+      ("pond", "small"), ("zebras", "drinking", "water"),
+      ("water", "from", "pond")}),
     ("a kite flies high above the sandy beach",
      {("kite",), ("beach",), ("beach", "sandy"), ("kite", "flies", "beach")}),
     ("a bathroom with a white sink and a mirror",
@@ -978,4 +983,123 @@ GOLD_HELDOUT = [
     ("an airplane that flies through the cloudy sky",
      {("airplane",), ("sky",), ("sky", "cloudy"),
       ("airplane", "flies", "sky")}),
+]
+
+
+def test_spice_extractor_heldout_r3b_accuracy():
+    """Second held-out gold corpus (25 captions), annotated by the Anderson
+    et al. 2016 scene-graph semantics BEFORE the extractor grew the
+    features it probes: numeric attributes (CoreNLP nummod → attribute),
+    multiword prepositions ("in front of", "next to", "on top of"),
+    possessive 's (→ a "have" relation with the stream continuing on the
+    possessed NP), "while" clause boundaries, VP coordination with objects
+    ("smiling and holding a balloon"), attributive past participles
+    ("parked cars", "sliced bread"), and -ing nouns in non-post-article
+    positions ("a brick building").  Conventions follow the first corpus:
+    verb relations absorb their preposition into a 3-tuple, PPs attach to
+    the nearest preceding NP.  Two KNOWN divergences are annotated as the
+    correct graphs and left failing (the of-distribution into an
+    article-bearing conjunct in "rows of palm trees and a bench"), so the
+    floors sit just under the measured P=0.98/R=0.97."""
+    from clipcap_tpu.eval.porter import porter_stem
+    from clipcap_tpu.eval.spice import extract_tuples
+
+    def stem_set(ts):
+        return {tuple(porter_stem(w) for w in t) for t in ts}
+
+    tp = fp = fn = 0
+    for caption, want in GOLD_HELDOUT_R3B:
+        got_s = stem_set(extract_tuples(caption.split()))
+        want_s = stem_set(want)
+        tp += len(got_s & want_s)
+        fp += len(got_s - want_s)
+        fn += len(want_s - got_s)
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    assert len(GOLD_HELDOUT_R3B) >= 25
+    assert precision >= 0.95, (precision, recall)
+    assert recall >= 0.95, (precision, recall)
+
+
+GOLD_HELDOUT_R3B = [
+    # --- numeric attributes ---
+    ("two dogs playing in the snow",
+     {("dogs",), ("dogs", "two"), ("snow",), ("dogs", "playing", "snow")}),
+    ("three people standing on a beach",
+     {("people",), ("people", "three"), ("beach",),
+      ("people", "standing", "beach")}),
+    ("a table with four chairs around it",
+     {("table",), ("chairs",), ("chairs", "four"),
+      ("table", "with", "chairs")}),
+    ("five birds perched on a wire",
+     {("birds",), ("birds", "five"), ("wire",), ("birds", "perched", "wire")}),
+    # --- existentials ---
+    ("there is a cat on the bed",
+     {("cat",), ("bed",), ("cat", "on", "bed")}),
+    ("there are two boats in the water",
+     {("boats",), ("boats", "two"), ("water",), ("boats", "in", "water")}),
+    # --- multiword prepositions ---
+    ("a dog in front of a house",
+     {("dog",), ("house",), ("dog", "in front of", "house")}),
+    ("a bench next to a tree",
+     {("bench",), ("tree",), ("bench", "next to", "tree")}),
+    ("a motorcycle parked in front of a brick building",
+     {("motorcycle",), ("building",), ("building", "brick"),
+      ("motorcycle", "parked", "building")}),
+    ("a cup of coffee on top of a wooden table",
+     {("cup",), ("coffee",), ("table",), ("table", "wooden"),
+      ("cup", "of", "coffee"), ("cup", "on top of", "table")}),
+    ("a police officer stands next to a motorcycle",
+     {("officer",), ("officer", "police"), ("motorcycle",),
+      ("officer", "stands", "motorcycle")}),
+    # --- possessives ---
+    ("a man 's hat on a chair",
+     {("man",), ("hat",), ("chair",), ("man", "have", "hat"),
+      ("hat", "on", "chair")}),
+    ("a dog 's tail wagging in the air",
+     {("dog",), ("tail",), ("air",), ("dog", "have", "tail"),
+      ("tail", "wagging", "air")}),
+    # --- chained participials / VP coordination / while ---
+    ("a man sitting on a bench reading a newspaper",
+     {("man",), ("bench",), ("newspaper",), ("man", "sitting", "bench"),
+      ("man", "reading", "newspaper")}),
+    ("a woman standing in the kitchen holding a plate",
+     {("woman",), ("kitchen",), ("plate",), ("woman", "standing", "kitchen"),
+      ("woman", "holding", "plate")}),
+    ("a child smiling while holding a balloon",
+     {("child",), ("balloon",), ("child", "smiling"),
+      ("child", "holding", "balloon")}),
+    ("a child smiling and holding a balloon",
+     {("child",), ("balloon",), ("child", "smiling"),
+      ("child", "holding", "balloon")}),
+    ("a man standing and waving",
+     {("man",), ("man", "standing"), ("man", "waving")}),
+    ("a dog runs while a cat sleeps",
+     {("dog",), ("cat",), ("dog", "runs"), ("cat", "sleeps")}),
+    ("a woman walks her dog while talking on a phone",
+     {("woman",), ("dog",), ("phone",), ("woman", "walks", "dog"),
+      ("woman", "talking", "phone")}),
+    # --- attributive participles + -ing nouns ---
+    ("a tall building behind a row of parked cars",
+     {("building",), ("building", "tall"), ("row",), ("cars",),
+      ("cars", "parked"), ("row", "of", "cars"),
+      ("building", "behind", "row")}),
+    ("a plate of sliced bread on the table",
+     {("plate",), ("bread",), ("bread", "sliced"), ("table",),
+      ("plate", "of", "bread"), ("plate", "on", "table")}),
+    ("an old painting hanging on the wall",
+     {("painting",), ("painting", "old"), ("wall",),
+      ("painting", "hanging", "wall")}),
+    # --- compound nouns at conjunctions + of-NPs ---
+    ("rows of palm trees and a bench on the beach",
+     {("rows",), ("trees",), ("trees", "palm"), ("bench",), ("beach",),
+      ("rows", "of", "trees"), ("rows", "on", "beach"),
+      ("bench", "on", "beach")}),
+    ("a tennis player swinging a racket on a tennis court",
+     {("player",), ("player", "tennis"), ("racket",), ("court",),
+      ("court", "tennis"), ("player", "swinging", "racket"),
+      ("racket", "on", "court")}),
+    ("a group of people standing around a table",
+     {("group",), ("people",), ("table",), ("group", "of", "people"),
+      ("people", "standing", "table")}),
 ]
