@@ -131,6 +131,21 @@ def _measure_embeds(batch: int | None = None, rounds: int = 4,
     return max(per_trial), per_trial, batch
 
 
+def _backend_ready(timeout_s: float = 240.0) -> bool:
+    """True once device enumeration completes.  Backend init over a DOWN
+    tunnel can BLOCK for many minutes (observed: axon client init retrying
+    ~5 min per attempt), so probe it on a daemon thread with a deadline —
+    a dead tunnel must still yield the one-line JSON artifact promptly."""
+    import threading
+
+    ready: list = []
+    t = threading.Thread(target=lambda: ready.append(len(jax.devices())),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ready)
+
+
 def main() -> None:
     # Each section is fault-isolated: the shared TPU tunnel can drop
     # mid-run (observed: UNAVAILABLE backend errors minutes into the xl
@@ -139,6 +154,12 @@ def main() -> None:
         "metric": "beam5_captions_per_sec_per_chip",
         "unit": "captions/s",
     }
+    if not _backend_ready():
+        out.update(value=0.0, vs_baseline=0.0,
+                   error="backend init timed out — TPU tunnel down")
+        print(json.dumps(out))
+        sys.stdout.flush()
+        os._exit(0)  # the probe thread may still be stuck in init
     try:
         best, trials = _measure_beam("gpt2", batch=128)
         out["value"] = round(best, 3)
