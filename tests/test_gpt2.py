@@ -659,3 +659,25 @@ def test_flash_decode_manual_pipeline_matches_auto():
         got = flash_decode(q, kvx, mask, u_valid=jnp.int32(150), manual=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_flash_decode_manual_k1_sampling_shape():
+    """Manual-pipeline kernel on the batched-sampling shape (K=1 query per
+    row, broadcast causal mask) — the engine.decode flash path."""
+    import jax.numpy as jnp
+
+    from clipcap_tpu.models.gpt2 import NEG_INF
+    from clipcap_tpu.ops.flash_decode import flash_decode
+
+    rng = np.random.default_rng(13)
+    R, H, K, Dh, U = 6, 4, 1, 64, 160                  # u_tile 80, 2 tiles
+    q = jnp.asarray(rng.normal(size=(R, H, K, Dh)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(R, H, U, 2 * Dh)), jnp.float32)
+    for uv in (1, 79, 80, 81, 160):
+        vis = np.zeros((1, K, U), np.float32)
+        vis[:, :, uv:] = NEG_INF
+        mask = jnp.asarray(vis)
+        ref = flash_decode(q, kv, mask, u_valid=jnp.int32(uv))
+        got = flash_decode(q, kv, mask, u_valid=jnp.int32(uv), manual=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-5, err_msg=str(uv))
