@@ -461,6 +461,16 @@ class Meteor:
                 self._segment_stats(hyp, normalize(ref))))
         return best
 
+    # Public sufficient-statistics interface (the jar's SCORE/EVAL stdio
+    # protocol is built on these — eval/meteor_stdio.py; same 7-value
+    # order as the native core's ccn_meteor_stats).
+    def segment_stats(self, hypothesis: str, reference: str) -> List[float]:
+        st = self._segment_stats(normalize(hypothesis), normalize(reference))
+        return [float(st[k]) for k in _STATS_KEYS]
+
+    def score_from_stats(self, stats: Sequence[float]) -> float:
+        return self._score_from_stats(dict(zip(_STATS_KEYS, stats)))
+
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
         """coco-caption interface: per-image score = best ref; corpus score =
         score of summed sufficient statistics over each image's best

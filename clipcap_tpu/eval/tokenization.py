@@ -97,3 +97,31 @@ def get_tokenizer() -> PTBTokenizer:
         return native.PTBTokenizer()
     except Exception:
         return PTBTokenizer()
+
+
+def main() -> None:
+    """Line-protocol CLI (``clipcap-ptbtok``): one tokenized line out per
+    input line, like the reference's
+    ``java edu.stanford.nlp.process.PTBTokenizer -preserveLines -lowerCase``
+    subprocess (ptbtokenizer.py:32-57) — with the wrapper's punctuation
+    strip (:69-70) already applied, since the two always run together in
+    the reference pipeline.  Jar-style flags are accepted and ignored
+    (the behavior they select is the default here)."""
+    import sys
+
+    try:
+        from clipcap_tpu.native.ptb_tokenizer import (
+            ptb_tokenize_line as tokenize_line,
+        )
+    except Exception:
+        tokenize_line = ptb_tokenize_line
+    for arg in sys.argv[1:]:
+        if arg not in ("-preserveLines", "-lowerCase", "-"):
+            raise SystemExit(f"unknown argument: {arg}")
+    for line in sys.stdin:
+        sys.stdout.write(" ".join(tokenize_line(line)) + "\n")
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,14 @@ class Meteor:
         return max((self._score(self._stats(hypothesis, r)) for r in references),
                    default=0.0)
 
+    # Public sufficient-statistics interface, mirroring
+    # clipcap_tpu.eval.meteor.Meteor (used by the stdio protocol server).
+    def segment_stats(self, hypothesis: str, reference: str) -> List[float]:
+        return self._stats(hypothesis, reference)
+
+    def score_from_stats(self, stats: Sequence[float]) -> float:
+        return self._score(stats)
+
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
         keys = list(gts.keys())
         per_image: List[float] = []

@@ -40,6 +40,11 @@ setup(
             "clipcap-eval=clipcap_tpu.eval.base:run_eval",
             "clipcap-finetune=clipcap_tpu.finetune:start_finetuning",
             "clipcap-init=clipcap_tpu.init.base:init",
+            # jar-protocol drop-ins (SURVEY §2.2): the reference's own
+            # Meteor/PTBTokenizer driver classes can exec these instead of
+            # java -jar meteor-1.5.jar / CoreNLP PTBTokenizer.
+            "clipcap-meteor=clipcap_tpu.eval.meteor_stdio:main",
+            "clipcap-ptbtok=clipcap_tpu.eval.tokenization:main",
         ]
     },
 )

@@ -1103,3 +1103,123 @@ GOLD_HELDOUT_R3B = [
      {("group",), ("people",), ("table",), ("group", "of", "people"),
       ("people", "standing", "table")}),
 ]
+
+
+# ---------------------------------------------------------------------------
+# jar-protocol stdio drop-ins (SURVEY §2.2: SCORE/EVAL + PTBTokenizer lines)
+# ---------------------------------------------------------------------------
+
+
+def _drive_meteor_protocol(write, readline, gts, res):
+    """Replay the reference Meteor driver's exact I/O sequence
+    (/root/reference .../meteor/meteor.py compute_score): one SCORE line
+    per image collecting stats, one EVAL line, then n per-image scores and
+    the final aggregate score."""
+    keys = list(gts.keys())
+    stats = []
+    for k in keys:
+        hyp = res[k][0].replace("|||", "").replace("  ", " ")
+        write("SCORE ||| " + " ||| ".join(gts[k]) + " ||| " + hyp + "\n")
+        stats.append(readline().strip())
+    write("EVAL ||| " + " ||| ".join(stats) + "\n")
+    per_image = [float(readline().strip()) for _ in keys]
+    corpus = float(readline().strip())
+    return corpus, per_image
+
+
+def _meteor_protocol_fixture():
+    gts = {
+        "a": ["a man rides a brown horse", "a person riding a horse outside"],
+        "b": ["two dogs play in the snow", "dogs playing in snow"],
+        "c": ["a plate of food on a table", "food sits on a white plate"],
+    }
+    res = {
+        "a": ["a man riding a horse"],
+        "b": ["two dogs playing in the snow"],
+        "c": ["a plate of food sitting on the table"],
+    }
+    return gts, res
+
+
+def test_meteor_stdio_protocol_matches_compute_score():
+    import io
+
+    from clipcap_tpu.eval.meteor import get_meteor
+    from clipcap_tpu.eval.meteor_stdio import serve
+
+    gts, res = _meteor_protocol_fixture()
+    scorer = get_meteor()
+
+    lines_in = []
+    expected_corpus, expected_per_image = scorer.compute_score(gts, res)
+
+    # Build the full request stream up front (the server is line-driven and
+    # stateless between verbs, so batching requests is equivalent).
+    keys = list(gts.keys())
+    for k in keys:
+        lines_in.append("SCORE ||| " + " ||| ".join(gts[k]) + " ||| " + res[k][0])
+    out1 = io.StringIO()
+    serve(io.StringIO("\n".join(lines_in) + "\n"), out1, scorer)
+    stats = out1.getvalue().strip().split("\n")
+    assert len(stats) == len(keys)
+
+    out2 = io.StringIO()
+    serve(io.StringIO("EVAL ||| " + " ||| ".join(stats) + "\n"), out2, scorer)
+    vals = [float(v) for v in out2.getvalue().strip().split("\n")]
+    per_image, corpus = vals[:-1], vals[-1]
+
+    assert per_image == pytest.approx(expected_per_image, abs=1e-12)
+    assert corpus == pytest.approx(expected_corpus, abs=1e-12)
+
+
+def test_meteor_stdio_subprocess_jar_argv():
+    """The console entry accepts the jar's exact argv and serves the
+    protocol over real pipes, end to end."""
+    import subprocess
+
+    gts, res = _meteor_protocol_fixture()
+    from clipcap_tpu.eval.meteor import get_meteor
+
+    expected_corpus, expected_per_image = get_meteor().compute_score(gts, res)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "clipcap_tpu.eval.meteor_stdio",
+         "-", "-", "-stdio", "-l", "en", "-norm"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        corpus, per_image = _drive_meteor_protocol(
+            lambda s: (proc.stdin.write(s), proc.stdin.flush()),
+            proc.stdout.readline, gts, res)
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=30)
+    assert per_image == pytest.approx(expected_per_image, abs=1e-12)
+    assert corpus == pytest.approx(expected_corpus, abs=1e-12)
+
+
+def test_meteor_stdio_rejects_unknown_verb():
+    import io
+
+    from clipcap_tpu.eval.meteor_stdio import serve
+
+    with pytest.raises(ValueError):
+        serve(io.StringIO("FROB ||| x\n"), io.StringIO())
+
+
+def test_ptbtok_cli_lines():
+    import subprocess
+
+    from clipcap_tpu.eval.tokenization import ptb_tokenize_line
+
+    lines = ["A man, riding a horse.", "The dog's ball (red).", "I can't swim..."]
+    proc = subprocess.run(
+        [sys.executable, "-m", "clipcap_tpu.eval.tokenization",
+         "-preserveLines", "-lowerCase"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=60, check=True,
+    )
+    got = proc.stdout.rstrip("\n").split("\n")
+    assert got == [" ".join(ptb_tokenize_line(l)) for l in lines]
