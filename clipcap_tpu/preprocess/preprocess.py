@@ -20,11 +20,37 @@ from clipcap_tpu.preprocess.distributor import get_distributor
 from clipcap_tpu.preprocess.mapper import EncoderMapper
 from clipcap_tpu.preprocess.reader import FilesReader, WebdatasetReader, folder_to_keys
 from clipcap_tpu.preprocess.runner import Runner
-from clipcap_tpu.preprocess.writer import NumpyWriter, save_config
+from clipcap_tpu.preprocess.writer import PartitionWriter, write_encoder_config
 from clipcap_tpu.utils.braceexpand import braceexpand
 
 
+def _partition_count(args: Namespace, input_dataset) -> int:
+    """Number of output partitions: explicit override, or an estimate of
+    the sample count divided into ``write_batch_size``-sized partitions.
+    Raises ``ValueError`` when the input yields no samples to estimate
+    from."""
+    if args.output_partition_count is not None:
+        return args.output_partition_count
+    if args.input_format == "files":
+        keys, _, _ = folder_to_keys(
+            input_dataset, args.media_file_extensions.lower().split(",")
+        )
+        estimate = len(keys)
+    else:  # webdataset: tar count x nominal samples per tar
+        estimate = len(input_dataset) * args.wds_samples_per_file
+    if estimate == 0:
+        raise ValueError(f"no input samples under {input_dataset!r}")
+    count = math.ceil(estimate / args.write_batch_size)
+    print(f"preprocess: ~{estimate} samples -> {count} output partition(s) "
+          f"of <= {args.write_batch_size}")
+    return count
+
+
 def preprocess(args: Namespace) -> int:
+    if args.input_format not in ("files", "webdataset"):
+        print(f"preprocess: unknown --input-format {args.input_format!r} "
+              "(expected files|webdataset)")
+        return 1
     if args.input_format == "webdataset":
         datasets = args.input_dataset.split(",")
         input_dataset = [uri for dataset in datasets for uri in braceexpand(dataset)]
@@ -39,27 +65,13 @@ def preprocess(args: Namespace) -> int:
     # to re-discover it (train still verifies against the data).
     if getattr(encoder_model, "embedding_size", None):
         encoder_config.encoder_embedding_size = encoder_model.embedding_size
-    save_config(encoder_config, args.output_folder)
+    write_encoder_config(encoder_config, args.output_folder)
 
-    if args.output_partition_count is None:
-        if args.input_format == "files":
-            keys, _, _ = folder_to_keys(
-                input_dataset, args.media_file_extensions.lower().split(",")
-            )
-            sample_count = len(keys)
-        elif args.input_format == "webdataset":
-            sample_count = len(input_dataset) * args.wds_samples_per_file
-        else:
-            print("Unsupported input_format")
-            return 1
-
-        if sample_count == 0:
-            print("no samples found")
-            return 1
-        print(f"The number of samples has been estimated to be {sample_count}")
-        output_partition_count = math.ceil(sample_count / args.write_batch_size)
-    else:
-        output_partition_count = args.output_partition_count
+    try:
+        output_partition_count = _partition_count(args, input_dataset)
+    except ValueError as e:
+        print(f"preprocess: {e}")
+        return 1
 
     def reader_builder(sampler):
         if args.input_format == "files":
@@ -82,7 +94,7 @@ def preprocess(args: Namespace) -> int:
         return EncoderMapper(model=encoder_model, device=args.device)
 
     def writer_builder(i):
-        return NumpyWriter(
+        return PartitionWriter(
             partition_id=i,
             output_folder=args.output_folder,
             output_partition_count=output_partition_count,

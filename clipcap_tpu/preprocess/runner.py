@@ -56,7 +56,7 @@ class Runner:
                 embeddings = mapper(batch)
             with timer.section("write"):
                 writer(embeddings)
-            samples += len(embeddings)
+            samples += len(embeddings["text"])
         with timer.section("write"):
             writer.flush()
         totals = timer.summary()

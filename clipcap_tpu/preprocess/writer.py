@@ -1,86 +1,84 @@
-"""Writer: embeddings → npy, captions → parquet (byte-compatible with the
-reference's output contract, /root/reference/clipcap/preprocess/writer.py:
-``embeddings/embeds_<zfill>.npy`` + ``captions/captions_<zfill>.parquet``
-with column ``caption``, plus ``encoder_config.yaml`` at the root).
+"""Partition writer for the preprocess stage.
 
-Datasets written here load in the PyTorch reference's EmbeddingReader and
-vice versa.
+Only the on-disk *artifact contract* is shared with the reference, so that
+datasets written by either side load in the other
+(/root/reference/clipcap/preprocess/writer.py:10-75):
+
+    <out>/encoder_config.yaml                      run-describing YAML
+    <out>/embeddings/embeds_<NNN>.npy              float matrix, row/sample
+    <out>/captions/captions_<NNN>.parquet          single column ``caption``
+
+``<NNN>`` is the partition id zero-padded to the digit width of the total
+partition count, which both sides compute identically.  The implementation
+is original: one ``PartitionWriter`` owns the accumulate→flush lifecycle
+(the reference splits it across a sink object and a callable facade), and
+paths are resolved once at construction.
 """
 from __future__ import annotations
 
-import math
-from io import BytesIO
+from typing import Mapping, Sequence
 
 import fsspec
+import numpy as np
 import yaml
 
 
-def save_config(config, output_folder: str) -> None:
-    fs, output_folder = fsspec.core.url_to_fs(output_folder)
-    fs.makedirs(output_folder, exist_ok=True)
-    with fs.open(output_folder + "/encoder_config.yaml", "w") as f:
+def write_encoder_config(config, output_folder: str) -> None:
+    """Persist the encoder config as ``encoder_config.yaml`` at the dataset
+    root — the file the train stage reads to rebuild the encoder."""
+    fs, root = fsspec.core.url_to_fs(output_folder)
+    fs.makedirs(root, exist_ok=True)
+    with fs.open(f"{root}/encoder_config.yaml", "w") as f:
         yaml.dump(config.to_dict(), f, default_flow_style=False)
 
 
-class OutputSink:
-    """Buffers embeddings/captions for one partition, then flushes them as
-    one npy + one parquet (reference writer.py:18-96)."""
+def partition_tag(partition_id: int, output_partition_count: int) -> str:
+    """Zero-padded partition label, padded to the digit width of the total
+    count (``embeds_007.npy`` for 100+ partitions, ``embeds_0.npy`` for
+    one) — must match the reference's padding for filename compatibility."""
+    width = len(str(max(1, output_partition_count)))
+    return f"{partition_id:0{width}d}"
 
-    def __init__(self, output_folder: str, partition_id: int, output_partition_count: int):
-        self.fs, output_folder = fsspec.core.url_to_fs(output_folder)
-        self.output_folder = output_folder
-        self.embed_folder = output_folder + "/embeddings"
-        self.captions_folder = output_folder + "/captions"
-        self.batch_num = partition_id
-        self.oom_partition_count = int(math.log10(max(1, output_partition_count))) + 1
 
-        self.fs.makedirs(self.embed_folder, exist_ok=True)
-        self.fs.makedirs(self.captions_folder, exist_ok=True)
-        self._init_batch()
+class PartitionWriter:
+    """Accumulates encoder output batches for one partition in host memory,
+    then writes the whole partition as one npy/parquet pair on ``flush``.
 
-    def _init_batch(self) -> None:
-        self.embeddings = []
-        self.captions = []
-        self.batch_count = 0
+    Batches are mappings with ``embeddings`` (array, one row per sample)
+    and ``text`` (sequence of caption strings) — the shape the Runner's
+    mapper stage emits.
+    """
 
-    def add(self, sample: dict) -> None:
-        self.batch_count += sample["embeddings"].shape[0]
-        self.embeddings.append(sample["embeddings"])
-        self.captions.extend(sample["text"])
+    def __init__(self, partition_id: int, output_folder: str,
+                 output_partition_count: int):
+        self._fs, root = fsspec.core.url_to_fs(output_folder)
+        tag = partition_tag(partition_id, output_partition_count)
+        self._embeds_path = f"{root}/embeddings/embeds_{tag}.npy"
+        self._captions_path = f"{root}/captions/captions_{tag}.parquet"
+        for path in (self._embeds_path, self._captions_path):
+            self._fs.makedirs(path.rsplit("/", 1)[0], exist_ok=True)
+        self._rows: list[np.ndarray] = []
+        self._texts: list[str] = []
 
-    def _write_batch(self) -> None:
-        import numpy as np
+    def __call__(self, batch: Mapping[str, Sequence]) -> None:
+        self._rows.append(np.asarray(batch["embeddings"]))
+        self._texts.extend(batch["text"])
+
+    @property
+    def pending(self) -> int:
+        """Samples accumulated since the last flush."""
+        return sum(r.shape[0] for r in self._rows)
+
+    def flush(self) -> None:
+        """Write everything accumulated so far, then reset.  A writer that
+        received no samples writes nothing (empty partitions leave no
+        files, matching the reference)."""
+        if not self._rows:
+            return
         import pandas as pd
 
-        batch_num_str = str(self.batch_num).zfill(self.oom_partition_count)
-        embedding_mat = np.concatenate(self.embeddings)
-
-        with self.fs.open(self.embed_folder + "/embeds_" + batch_num_str + ".npy", "wb") as f:
-            npb = BytesIO()
-            np.save(npb, embedding_mat)
-            f.write(npb.getbuffer())
-
-        df = pd.DataFrame(data={"caption": self.captions})
-        with self.fs.open(
-            self.captions_folder + "/captions_" + batch_num_str + ".parquet", "wb"
-        ) as f:
-            df.to_parquet(f)
-
-    def flush(self) -> None:
-        if self.batch_count == 0:
-            return
-        self._write_batch()
-        self._init_batch()
-
-
-class NumpyWriter:
-    """Callable writer facade over OutputSink (reference writer.py:85-96)."""
-
-    def __init__(self, partition_id: int, output_folder: str, output_partition_count: int):
-        self.sink = OutputSink(output_folder, partition_id, output_partition_count)
-
-    def __call__(self, batch: dict) -> None:
-        self.sink.add(batch)
-
-    def flush(self) -> None:
-        self.sink.flush()
+        with self._fs.open(self._embeds_path, "wb") as f:
+            np.save(f, np.concatenate(self._rows))
+        with self._fs.open(self._captions_path, "wb") as f:
+            pd.DataFrame({"caption": self._texts}).to_parquet(f)
+        self._rows, self._texts = [], []
