@@ -44,6 +44,10 @@ PREPOSITIONS = {"in", "on", "at", "by", "with", "near", "under", "over",
                 "through", "onto", "into", "atop", "upon", "underneath",
                 "next", "of", "to", "from", "off", "past", "beneath",
                 "toward", "towards", "during", "throughout",
+                # phrasal-verb particles: links, never NP heads ("blowing
+                # OUT the candle", "holding UP a fish"); the verb wins the
+                # relation label so the particle is absorbed
+                "out", "up", "down",
                 # collapsed multiword prepositions (the pre-pass joins the
                 # token runs below into one link token, matching CoreNLP's
                 # multiword nmod labels — 'front' must not chunk as a noun)
@@ -71,6 +75,7 @@ ADJECTIVES = {
     "big", "small", "large", "little", "tall", "short", "long", "old",
     "young", "new", "wide", "narrow", "high", "low", "bright", "open",
     "full", "empty", "wet", "dry", "clean", "dirty",
+    "barefoot", "asleep", "awake", "alone",
 }
 
 
@@ -82,9 +87,27 @@ def _plural_noun(word: str) -> bool:
 
 
 # Predicative-tending adjectives that routinely trail their noun inside an
-# NP chunk ("a vase full of flowers", "a laptop sits open") — safe to
+# NP chunk ("a vase full of flowers", "a young boy barefoot") — safe to
 # demote from the head slot, unlike noun/adjective homographs ("light").
-_POSTNOMINAL_ADJ = {"full", "empty", "open", "closed"}
+_POSTNOMINAL_ADJ = {"full", "empty", "open", "closed", "barefoot", "asleep",
+                    "awake", "alone"}
+
+# Degree/manner adverbs that modify adjectives, not nouns — CoreNLP tags
+# them advmod and SPICE graphs drop them ("a PARTLY cloudy sky" attributes
+# only "cloudy").  Closed set: many -ly words are adjectives ("curly",
+# "friendly", "lovely"), so no suffix heuristic.
+ADVERBS = {"partly", "partially", "very", "really", "extremely", "slightly",
+           "mostly", "fully", "fairly", "freshly", "newly", "brightly",
+           "dimly", "neatly", "halfway"}
+
+# Base-form verbs recognized as infinitives directly after "to"
+# ("preparing TO BLOW out her candle"); outside that position base forms
+# double as nouns too often to risk ("a park", "a watch").
+BASE_VERBS = {"blow", "hold", "eat", "ride", "jump", "catch", "throw",
+              "play", "cut", "sit", "stand", "walk", "run", "fly", "swim",
+              "drink", "hit", "kick", "climb", "cross", "take", "get",
+              "go", "make", "see", "watch", "feed", "pet", "touch",
+              "read", "write", "grab", "reach", "serve", "hang"}
 
 
 def _looks_like_adjective(word: str) -> bool:
@@ -123,16 +146,21 @@ VERBS = {
     "rolls", "slides", "bounces", "kneels", "squats", "crouches",
     "crouched", "stretches", "poses", "posed", "waits", "waited",
     "looks", "gazes", "laughs", "speaks", "spoke", "chats",
+    "inhales", "exhales", "blows", "blew", "cuts", "pets", "touches",
+    "touched", "grins", "yawns", "bends", "crawls", "crawled", "dances",
+    "danced", "sings", "sang", "shouts", "screams", "whistles",
 }
 
 
 def _is_verb(word: str, prev_word: str | None) -> bool:
     """Heuristic POS: finite/participial verb.  -ing words are verbs unless
     directly after an article ('a painting' is a noun); closed-class words
-    never are ('during')."""
+    never are ('during'); base forms only as infinitives after 'to'."""
     if word in PREPOSITIONS or word in FUNCTION_WORDS or word in ARTICLES:
         return False
     if word in VERBS:
+        return True
+    if prev_word == "to" and word in BASE_VERBS:
         return True
     if (word.endswith("ing") and len(word) > 4 and prev_word not in ARTICLES
             and word not in ING_NOUNS):
@@ -196,7 +224,9 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
         else:
             out.append(words[i])
             i += 1
-    words = out
+    # Degree/manner adverbs modify adjectives or verbs, never head or
+    # attribute a noun — drop them before chunking ("partly cloudy sky").
+    words = [w for w in out if w not in ADVERBS]
     tuples: Tuples = set()
 
     # Chunk into NPs and connectors.
@@ -355,22 +385,54 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
             group_of[g] = group
         idx = j + 1
 
-    # Copular predicates: NP COP NP — the attribute distributes over the
-    # predicate's conjunction group ("the sky is dark and cloudy") and
-    # adjective-headed predicates do not emit object tuples of their own;
-    # nominal predicates stay objects too ("the man is a doctor").
+    # Copular predicates: NP (that|which|who)? COP (V-ed)? NP — the
+    # attribute distributes over the predicate's conjunction group ("the
+    # sky is dark and cloudy"); adjective-headed predicates do not emit
+    # object tuples of their own; nominal predicates stay objects ("the
+    # man is a doctor").  A passive/resultative participle between the
+    # copula and an ADJECTIVE-headed predicate contributes a 2-tuple and
+    # the predicate becomes attributes ("walls that are painted baby
+    # blue" → (walls, painted) + (walls, blue)); with a noun-headed
+    # predicate the relation scan handles it instead ("is holding a
+    # balloon").
     suppress: set = set()
-    for a in range(len(chunks) - 2):
-        if (chunks[a][0] == "np" and chunks[a + 1][0] == "link"
-                and chunks[a + 1][1] in COPULAS and chunks[a + 2][0] == "np"):
-            head = chunks[a][1][0]
-            for g in group_of.get(a + 2, [a + 2]):
-                attr_head, attr_mods = chunks[g][1]
-                tuples.add((head, attr_head))
-                for m in attr_mods:
-                    tuples.add((head, m))
-                if attr_head in ADJECTIVES or _looks_like_adjective(attr_head):
-                    suppress.add(g)
+    pred_consumed: set = set()
+    _REL_PRONOUNS = {"that", "which", "who"}
+    for a in range(len(chunks)):
+        if chunks[a][0] != "np":
+            continue
+        b = a + 1
+        if (b < len(chunks) and chunks[b][0] == "link"
+                and chunks[b][1] in _REL_PRONOUNS):
+            b += 1
+        if not (b < len(chunks) and chunks[b][0] == "link"
+                and chunks[b][1] in COPULAS):
+            continue
+        b += 1
+        participles: List[str] = []
+        while (b < len(chunks) and chunks[b][0] == "link"
+               and (chunks[b][1].endswith("ed")
+                    or chunks[b][1] in _IRREGULAR_PARTICIPLES)
+               and _is_verb(chunks[b][1], None)):
+            participles.append(chunks[b][1])
+            b += 1
+        if not (b < len(chunks) and chunks[b][0] == "np"):
+            continue
+        head = chunks[a][1][0]
+        pred_head = chunks[b][1][0]
+        if participles and not (pred_head in ADJECTIVES
+                                or _looks_like_adjective(pred_head)):
+            continue  # progressive/passive with a real object NP
+        for g in group_of.get(b, [b]):
+            attr_head, attr_mods = chunks[g][1]
+            tuples.add((head, attr_head))
+            for m in attr_mods:
+                tuples.add((head, m))
+            if attr_head in ADJECTIVES or _looks_like_adjective(attr_head):
+                suppress.add(g)
+                pred_consumed.add(g)  # an attribute, not a relation target
+        for v in participles:
+            tuples.add((head, v))
 
     # Emit object/attribute tuples.
     np_list = [(idx, c[1]) for idx, c in enumerate(chunks)
@@ -392,16 +454,25 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
     # * preposition relations lift only through "of" chains — the container
     #   locates ("a bowl of soup ON the counter" → bowl on counter).
     rel_into: Dict[int, Tuple[int, str]] = {}
+
+    def link_is_verb(ls: List[str], k: int) -> bool:
+        # positional check so infinitives register ("to BLOW")
+        return _is_verb(ls[k], ls[k - 1] if k else None)
+
     for a in range(len(chunks)):
         if chunks[a][0] != "np" or group_of[a][-1] != a:
             continue
         # find next NP
         links: List[str] = []
+        saw_copula = False
         for b in range(a + 1, len(chunks)):
             kind, val = chunks[b]
             if kind in ("link", "conj", "brk"):
-                if kind == "link" and val not in COPULAS:
-                    links.append(val)  # type: ignore[arg-type]
+                if kind == "link":
+                    if val in COPULAS:
+                        saw_copula = True
+                    elif val not in _REL_PRONOUNS:  # never relation labels
+                        links.append(val)  # type: ignore[arg-type]
                 if kind in ("conj", "brk"):
                     # VP coordination / gerund continuation: "smiling and
                     # holding a balloon", "sitting while eating" — a verb
@@ -412,26 +483,39 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
                     if (nxt is not None and nxt[0] == "link"
                             and _is_verb(nxt[1], None)):
                         links = []
+                        saw_copula = False
                         continue
                     break
                 continue
             if kind == "np":
-                # Relation label priority: verb, then preposition, then last
-                # link ('girl standing on court' → (girl, standing, court)).
-                rel = next((l for l in links if _is_verb(l, None)), None)
+                if b in pred_consumed:
+                    break  # resultative predicate, already an attribute
+                # Relation label priority: LAST verb (control chains keep
+                # the semantic verb: "preparing to BLOW out her candle"),
+                # then preposition, then last link.
+                verb_ks = [k for k in range(len(links))
+                           if link_is_verb(links, k)]
+                rel = links[verb_ks[-1]] if verb_ks else None
                 if rel is None:
                     rel = next((l for l in links if l in PREPOSITIONS), None)
                 if rel is None and links:
                     rel = links[-1]
                 if rel:
                     subj_idx = group_of[a][0]
-                    if _is_verb(rel, None):
+                    if verb_ks or saw_copula:
+                        # Verbs — and copular predicates ("a man in a red
+                        # hat IS ON a motorcycle") — act for the clause
+                        # subject: lift through non-of chains.
                         seen_l: set = set()
                         while (subj_idx in rel_into and subj_idx not in seen_l
                                and rel_into[subj_idx][1] != "of"):
                             seen_l.add(subj_idx)
                             subj_idx = rel_into[subj_idx][0]
-                    else:
+                    elif rel != "of":
+                        # Containers locate ("a bowl of soup ON the
+                        # counter" → bowl on counter) — but an of-chain
+                        # keeps attaching to the nearest noun ("the wheel
+                        # OF a bicycle" under "the appearance of ...").
                         while (subj_idx in rel_into
                                and rel_into[subj_idx][1] == "of"):
                             subj_idx = rel_into[subj_idx][0]
@@ -441,6 +525,13 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
                             tuples.add((chunks[ga][1][0], rel, chunks[gb][1][0]))
                     for gb in group_of[b]:
                         rel_into.setdefault(gb, (group_of[a][0], rel))
+                    # Control verbs before an infinitive keep their own
+                    # subject link as a 2-tuple ("girl preparing to blow
+                    # out her candle" → (girl, preparing) too).
+                    for k in verb_ks[:-1]:
+                        if k + 1 < len(links) and links[k + 1] == "to":
+                            for ga in subj_group:
+                                tuples.add((chunks[ga][1][0], links[k]))
                 break
 
     # Intransitive verbs: NP V with no object NP before a conjunction/end

@@ -31,7 +31,15 @@ that are painted baby blue"), -ly adverbs kept as attributes ("partly
 cloudy"), and two genuine attachment ambiguities annotated semantically
 ("man with a helmet on a moped", "holding an umbrella next to a herd").
 Any later extractor extension must leave these annotations untouched;
-floors below are pinned just under the first measurement.
+the pre-extension numbers above are the held-out measurement of record.
+
+Round-4 extractor extensions driven by these failures (phrasal particles,
+infinitive base verbs + control-verb 2-tuples, copula-aware subject
+lifting, passive-resultative predicates, -ly adverb filtering, postposed
+predicative adjectives) raised the corpus to P=0.984 R=0.989 with the
+annotations UNCHANGED; the three residual divergences are the two
+attachment ambiguities plus ("walls", "baby") from the "baby blue"
+compound color.  Floors pinned at 0.95 like the composed corpora.
 """
 import os
 import sys
@@ -173,9 +181,10 @@ def _prf(gold):
 
 def test_spice_extractor_coco_val_accuracy():
     """Held-out floor on verbatim COCO text — see module docstring for the
-    annotate-before-run measurement of record (P=0.863 R=0.901)."""
+    annotate-before-run measurement of record (P=0.863 R=0.901) and the
+    post-extension level (P=0.984 R=0.989)."""
     precision, recall, misses = _prf(COCO_VAL_GOLD)
     assert len(COCO_VAL_GOLD) >= 25
     detail = "\n".join(f"{c!r}: -{m} +{e}" for c, m, e in misses[:8])
-    assert precision >= 0.85, (precision, recall, detail)
-    assert recall >= 0.90, (precision, recall, detail)
+    assert precision >= 0.95, (precision, recall, detail)
+    assert recall >= 0.95, (precision, recall, detail)
