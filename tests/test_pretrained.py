@@ -152,3 +152,38 @@ def test_pretrained_clap_htsat_checkpoint_loads_and_embeds():
     assert np.isfinite(emb).all()
     norms = np.linalg.norm(emb, axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_pretrained_clap_matches_laion_clap_forward():
+    """NUMERIC parity vs laion_clap's own forward on identical waveforms
+    (VERDICT r3 #6) — the audio sibling of the GPT-2/CLIP pretrained
+    tests.  The reference wraps exactly this call
+    (/root/reference/clipcap/encoders/clap.py:121,134-147:
+    ``CLAP_Module.get_audio_embedding_from_data(..., use_tensor=True)``).
+
+    Requires BOTH a real checkpoint (CLIPCAP_CLAP_CHECKPOINT) and the
+    ``laion_clap`` package; skips cleanly otherwise."""
+    ckpt = os.environ.get("CLIPCAP_CLAP_CHECKPOINT")
+    if not ckpt or not os.path.exists(ckpt):
+        pytest.skip("set CLIPCAP_CLAP_CHECKPOINT to a laion_clap .pt file")
+    laion_clap = pytest.importorskip("laion_clap")
+
+    import jax.numpy as jnp
+
+    from clipcap_tpu.models.htsat import clap_audio_embedding, load_clap
+
+    oracle = laion_clap.CLAP_Module(enable_fusion=False, amodel="HTSAT-tiny")
+    oracle.load_ckpt(ckpt)
+    oracle.eval()
+
+    rng = np.random.default_rng(0)
+    # 10s @ 48kHz — the non-fused branch both sides take for short audio.
+    wav = (rng.normal(size=(2, 480000)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle.get_audio_embedding_from_data(
+            x=torch.tensor(wav), use_tensor=True).cpu().numpy()
+
+    params, cfg, _text = load_clap("HTSAT-tiny", checkpoint_path=ckpt)
+    got = np.asarray(clap_audio_embedding(params, cfg, jnp.asarray(wav),
+                                          dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
