@@ -36,6 +36,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # Full coverage stays `pytest tests/ -q`; the sub-10-minute developer
+    # gate is `pytest tests/ -q -m "not slow"` (VERDICT r3 #7).
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute integration tests (2-process clusters, "
+        "full-pipeline CLIs, large virtual-mesh programs); "
+        "deselect with -m 'not slow'")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -165,6 +165,7 @@ def test_clap_preprocess_pipeline(tmp_path):
     assert len(caps) == 4
 
 
+@pytest.mark.slow
 def test_clap_text_tower_and_similarity(tmp_path):
     """The CLAP rerank path: tokenize captions -> RoBERTa -> projection ->
     cosine similarity against the audio embedding (the working version of

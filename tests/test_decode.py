@@ -56,6 +56,7 @@ def test_greedy_token_parity_vs_hf(tiny):
     np.testing.assert_array_equal(ours, hf_out[:N])
 
 
+@pytest.mark.slow
 def test_engine_stops_and_excludes_stop_token(tiny):
     _, params, cfg = tiny
     prefix = jnp.asarray(np.random.default_rng(1).normal(size=(2, 4, cfg.n_embd)).astype(np.float32))
@@ -209,6 +210,7 @@ def _softmax(x):
     return e / e.sum(axis=-1, keepdims=True)
 
 
+@pytest.mark.slow
 def test_beam_parity_vs_reference_semantics(tiny):
     _, params, cfg = tiny
     rng = np.random.default_rng(6)
@@ -231,6 +233,7 @@ def test_beam_parity_vs_reference_semantics(tiny):
     np.testing.assert_allclose(np.asarray(res.seq_lengths), ref_lens, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_beam_search_batched_matches_single():
     """Throughput path (one XLA program for N searches) must be result-
     identical to the single-sample beam."""
@@ -309,6 +312,7 @@ def test_top_p_one_keeps_full_vocab():
     assert len(toks) > 90, len(toks)
 
 
+@pytest.mark.slow
 def test_beam_consolidation_parity():
     """Converged-prefix consolidation must not change beam results: every
     cadence (including every-step) reproduces the unconsolidated search
@@ -339,6 +343,7 @@ def test_beam_consolidation_parity():
                                    np.asarray(ref.seq_lengths), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_beam_folded_prefix_parity():
     """The folded-prefix cache layout (prefix stored once at the buffer
     head, default) must reproduce the replicated-prefix layout
@@ -370,6 +375,7 @@ def test_beam_folded_prefix_parity():
                                    np.asarray(ref.seq_lengths), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_tile_major_cache_parity():
     """The tile-major cache layout (``init_kv_cache(tile_major=True)``:
     ``[B, n_tiles, H, u_tile, 2*Dh]`` — one CONTIGUOUS HBM chunk per

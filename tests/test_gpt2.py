@@ -90,6 +90,7 @@ def test_logit_parity_inputs_embeds_and_mask(tiny_hf_model, tiny_jax):
     np.testing.assert_allclose(ours[1], ref[1], atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_kv_cache_matches_full_forward(tiny_jax):
     """Prefill + single-token decode through the cache must equal the
     uncached full forward (the reference re-forwards everything each step;
@@ -152,6 +153,7 @@ def test_remat_matches_no_remat(tiny_jax):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_flash_decode_matches_xla_path(tiny_jax):
     """The Pallas flash-decode kernel (ops/flash_decode) must reproduce the
     XLA cached-attention path on both the plain and the beam (ancestry
@@ -220,6 +222,7 @@ def test_int8_weight_quantization(tiny_jax):
     assert err / scale < 0.05, (err, scale)
 
 
+@pytest.mark.slow
 def test_flash_decode_odd_head_count():
     """gpt2-xl has 25 heads — the head-pairing cache pads to 26 with a zero
     head.  Pin flash == XLA on an odd-head config (pad head must never leak
@@ -302,6 +305,7 @@ def test_cached_decode_attention_mask_pads_to_slots(tiny_jax):
     assert np.abs(np.asarray(ref) - np.asarray(outs[False])).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_int8_kv_cache_bounded_drift(tiny_jax):
     """int8 KV cache (per-slot absmax scales): plain and beam decode must
     track the bf16/f32-cache path within int8 rounding, on both the flash
@@ -476,6 +480,7 @@ def test_flash_two_phase_fused_heterogeneous_bounds():
                                    err_msg=f"max_block_rows={mbr}")
 
 
+@pytest.mark.slow
 def test_consolidated_beam_gpt2_apply_flash_matches_xla():
     """gpt2_apply with shared_kv/shared_len: the Pallas two-phase path must
     reproduce the XLA concat fallback, fp32, including int8 shared+live."""

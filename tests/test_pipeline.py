@@ -70,6 +70,7 @@ def test_braceexpand():
     assert list(braceexpand("plain.tar")) == ["plain.tar"]
 
 
+@pytest.mark.slow
 def test_preprocess_files_and_train_and_caption(tmp_path):
     import pandas as pd
     import yaml
@@ -178,6 +179,7 @@ def test_sampler_partitions():
     assert sorted(sum(parts, [])) == items
 
 
+@pytest.mark.slow
 def test_windowed_end_to_end(tmp_path):
     """Windowed embeddings through the FULL pipeline: preprocess (tiled
     encoder output [N, W+1, E]) -> train a windowed mapper (learned pos
@@ -233,6 +235,7 @@ def test_windowed_end_to_end(tmp_path):
     assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
 
 
+@pytest.mark.slow
 def test_eval_cli_end_to_end(tmp_path):
     """Full eval stage: batched generation (encoder -> mapper -> nucleus
     decode -> similarity rerank) + CSV join + native metric scoring — the

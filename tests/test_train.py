@@ -168,6 +168,7 @@ def test_full_finetune_loss_decreases():
     assert int(jax.device_get(state.step)) == 8
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_resume(tmp_path):
     import jax
     import jax.numpy as jnp
@@ -202,12 +203,14 @@ def test_checkpoint_roundtrip_resume(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip_self_provisions():
     # The driver runs dryrun on a 1-chip host: when fewer devices exist than
     # requested, the entry point must re-exec itself with a virtual CPU mesh
@@ -231,6 +234,7 @@ def test_linear_warmup_decay_schedule():
     assert float(sched(100)) == 0.0
 
 
+@pytest.mark.slow
 def test_sharded_beam_serving_matches_unsharded():
     """Batched beam search data-sharded over the 8-device mesh must produce
     identical results to the unsharded run (serving-side scale-out).
@@ -399,6 +403,7 @@ def test_sharded_decode_serving_matches_unsharded():
     assert maybe_serving_mesh(argparse.Namespace(mesh_data=0)) is None
 
 
+@pytest.mark.slow
 def test_tensor_parallel_train_step_matches_replicated():
     """lm_tp=True on a (data=2, model=4) mesh: Megatron shardings via
     NamedSharding alone. Losses must match the plain data-parallel step
@@ -515,6 +520,7 @@ def test_tensor_parallel_serving_matches_single_device():
         beam_search_sharded(params, cfg, prefix, bp, mesh, jnp.float32)
 
 
+@pytest.mark.slow
 def test_train_cli_tensor_parallel_checkpoints_plain_layout(tmp_path):
     """--mesh-model 4 end-to-end through the train CLI: trains on a
     (2 data x 4 model) virtual mesh, and the saved checkpoints/state stay
