@@ -18,12 +18,15 @@ best of 3 trials with the spread printed.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
