@@ -184,9 +184,9 @@ def main():
     # exactness check for lastcls vs full (random weights, tight fp32-ish)
     if "lastcls" in modes:
         f_full, f_last = build("full", params), build("lastcls", params)
-        a = np.asarray(f_full(batches[0][:8]))
-        b = np.asarray(f_last(batches[0][:8]))
-        print(f"lastcls max |delta| vs full: {np.abs(a - b).max():.3e}",
+        a = np.asarray(f_full(batches[0][:8]), np.float32)
+        b = np.asarray(f_last(batches[0][:8]), np.float32)
+        print(f"lastcls max |delta| vs full: {float(np.abs(a - b).max()):.3e}",
               flush=True)
 
     for mode in modes:
