@@ -22,6 +22,7 @@ Weight import accepts both the OpenAI checkpoint layout (``visual.…``,
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -29,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from clipcap_tpu.ops.attention import sdpa
+from clipcap_tpu.ops.attention import sdpa, sdpa_packed
 from clipcap_tpu.ops.layers import layer_norm, linear, normal_init, ones_init, quick_gelu, zeros_init
 
 Array = jax.Array
@@ -196,6 +197,20 @@ def init_clip(cfg: CLIPConfig, seed: int = 0) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _packed_attn_enabled() -> bool:
+    """Whether unbiased tower attention routes through the packed-qkv Pallas
+    kernel (``ops.attention.sdpa_packed``).  Default: on for the TPU backend
+    (measured: ViT-B/32 b512 forward 55.0 → 43.9 ms on v5e — the kernel
+    removes the head-major relayouts and the [B,H,N,N] logits HBM
+    round-trips that cost ~2 ms/block on the XLA path), off elsewhere
+    (interpret-mode Pallas would crawl on CPU).  ``CLIPCAP_FUSED_ATTN=1/0``
+    forces either way — 1 is how CPU tests exercise the kernel path."""
+    env = os.environ.get("CLIPCAP_FUSED_ATTN")
+    if env is not None:
+        return env.lower() not in ("0", "false", "")
+    return jax.default_backend() == "tpu"
+
+
 def _clip_block(x: Array, layer: Params, heads: int, eps: float, bias, precision) -> Array:
     """Pre-norm transformer block with standard (biased) MHA + QuickGELU MLP."""
     B, N, D = x.shape
@@ -203,15 +218,20 @@ def _clip_block(x: Array, layer: Params, heads: int, eps: float, bias, precision
 
     h = layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"], eps)
     qkv = linear(h, layer["attn"]["in_proj"]["w"], layer["attn"]["in_proj"]["b"], precision)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(B, N, heads, Dh)
-    k = k.reshape(B, N, heads, Dh)
-    v = v.reshape(B, N, heads, Dh)
-    # XLA attention path: measured FASTER than the Pallas whole-row kernel
-    # here (51 vs 64 ms at batch 512 on v5e) — the kernel's layout costs
-    # (head transpose / pad around an opaque custom call) exceed the HBM
-    # round-trip it saves on the [B,H,N,N] logits.  See ops/attention.py.
-    attn = sdpa(q, k, v, bias=bias, fused=False).reshape(B, N, D)
+    if bias is None and _packed_attn_enabled():
+        # Packed-qkv Pallas kernel: takes the in_proj output verbatim and
+        # returns the out_proj input — zero layout work at the kernel
+        # boundary (the earlier whole-row kernel lost exactly there; see
+        # ops/attention.py for both measured verdicts).  Falls back to the
+        # XLA path internally when the shape exceeds the VMEM budget
+        # (e.g. ViT-L/14's 257 tokens).
+        attn = sdpa_packed(qkv, heads)
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, heads, Dh)
+        k = k.reshape(B, N, heads, Dh)
+        v = v.reshape(B, N, heads, Dh)
+        attn = sdpa(q, k, v, bias=bias, fused=False).reshape(B, N, D)
     attn = linear(attn, layer["attn"]["out_proj"]["w"], layer["attn"]["out_proj"]["b"], precision)
     x = x + attn
 
@@ -220,6 +240,33 @@ def _clip_block(x: Array, layer: Params, heads: int, eps: float, bias, precision
     h = quick_gelu(h)
     h = linear(h, layer["mlp"]["c_proj"]["w"], layer["mlp"]["c_proj"]["b"], precision)
     return x + h
+
+
+def _clip_block_cls(x: Array, layer: Params, heads: int, eps: float, precision) -> Array:
+    """The final vision block restricted to the class-token output row.
+
+    ``clip_encode_image`` keeps only ``x[:, 0]`` after the last block, so
+    every other row's attention output and MLP are dead work there — this
+    computes q for the cls row alone (k/v still over all rows) and runs the
+    MLP on one token.  EXACT (same ops on the surviving row; measured
+    max |Δ| = 0 vs the full block on chip) and worth ~2.3 ms at ViT-B/32
+    batch 512.  Returns [B, D]."""
+    B, N, D = x.shape
+    Dh = D // heads
+    h = layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"], eps)
+    qkv = linear(h, layer["attn"]["in_proj"]["w"], layer["attn"]["in_proj"]["b"], precision)
+    q, k, v = (t.reshape(B, N, heads, Dh) for t in jnp.split(qkv, 3, -1))
+    q0 = q[:, :1]
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q0, k) * (Dh ** -0.5)
+    w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
+    a = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(B, 1, D)
+    x0 = x[:, :1] + linear(a, layer["attn"]["out_proj"]["w"],
+                           layer["attn"]["out_proj"]["b"], precision)
+    h = layer_norm(x0, layer["ln_2"]["scale"], layer["ln_2"]["bias"], eps)
+    h = linear(h, layer["mlp"]["c_fc"]["w"], layer["mlp"]["c_fc"]["b"], precision)
+    x0 = x0 + linear(quick_gelu(h), layer["mlp"]["c_proj"]["w"],
+                     layer["mlp"]["c_proj"]["b"], precision)
+    return x0[:, 0]
 
 
 def patchify(images: Array, patch: int) -> Array:
@@ -283,9 +330,14 @@ def clip_encode_image(
     def scan_fn(carry, layer):
         return block(carry, layer), None
 
-    x, _ = jax.lax.scan(scan_fn, x, params["blocks"])
+    # Run layers 0..L-2 in the scan; the final block computes only the
+    # class-token row (everything else is discarded by the ``x[:, 0]``
+    # below anyway — see _clip_block_cls).
+    body = jax.tree_util.tree_map(lambda p: p[:-1], params["blocks"])
+    last = jax.tree_util.tree_map(lambda p: p[-1], params["blocks"])
+    x, _ = jax.lax.scan(scan_fn, x, body)
+    x = _clip_block_cls(x, last, heads=cfg.heads, eps=1e-5, precision=precision)
 
-    x = x[:, 0]  # class token
     x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])
     return jnp.dot(x, params["proj"].astype(x.dtype), precision=precision)
 

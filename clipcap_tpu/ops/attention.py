@@ -114,6 +114,117 @@ def fused_sdpa(
     return out.reshape(B, H, N, Dh)
 
 
+def _packed_kernel(qkv_ref, o_ref, *, heads, scale, causal, n_valid):
+    """Whole attention middle for one sample group, straight off the packed
+    qkv projection: per-head lane slices, fp32 logits+softmax in VMEM, heads
+    re-concatenated on lanes so the output feeds out_proj with no relayout."""
+    qkv = qkv_ref[:]                                  # [G, N, 3D]
+    G, N, threeD = qkv.shape
+    D = threeD // 3
+    Dh = D // heads
+    mask = None
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+    if n_valid < N:
+        mask = kpos < n_valid
+    if causal:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+        cm = kpos <= qpos
+        mask = cm if mask is None else jnp.logical_and(mask, cm)
+    outs = []
+    for h in range(heads):
+        q = jax.lax.slice_in_dim(qkv, h * Dh, (h + 1) * Dh, axis=2)
+        k = jax.lax.slice_in_dim(qkv, D + h * Dh, D + (h + 1) * Dh, axis=2)
+        v = jax.lax.slice_in_dim(qkv, 2 * D + h * Dh, 2 * D + (h + 1) * Dh,
+                                 axis=2)
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                     # [G, N, N] — VMEM only
+        if mask is not None:
+            logits = jnp.where(mask, logits, _NEG)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv.dtype)
+        outs.append(jax.lax.dot_general(
+            w, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(qkv.dtype))
+    o_ref[:] = jnp.concatenate(outs, axis=-1)
+
+
+def _packed_group(B: int, N: int, D: int, heads: int) -> Optional[int]:
+    """Largest sample-group size that divides B and fits the VMEM budget.
+
+    Sizing is TILE-PADDED (sublane 8/16, lane 128) and assumes the worst
+    case for the unrolled per-head loop: every head's fp32 logits / exp /
+    weights / context stay live on the Mosaic stack at once.  The first
+    naive estimate (unpadded, single-head liveness) picked G=8 for
+    ViT-B/32 b512 and overflowed the 16 MiB scoped-vmem stack by 588 KiB
+    on chip; this one picks G=4 there (~7.5 MiB)."""
+
+    def rup(x, m):
+        return ((x + m - 1) // m) * m
+
+    Dh = D // heads
+    for g in (16, 8, 4, 2, 1):
+        if B % g:
+            continue
+        qkv_in = 2 * g * rup(N, 16) * rup(3 * D, 128) * 2   # double-buffered
+        out = 2 * g * rup(N, 16) * rup(D, 128) * 2
+        per_head = (2 * rup(N, 8) * rup(N, 128) * 4          # logits + exp
+                    + rup(N, 16) * rup(N, 128) * 2           # weights (bf16)
+                    + rup(N, 16) * rup(Dh, 128) * 2)         # head context
+        if qkv_in + out + heads * g * per_head <= 12 * 1024 * 1024:
+            return g
+    return None
+
+
+def sdpa_packed(
+    qkv: Array,  # [B, N, 3·H·Dh] — the in_proj output, q|k|v on lanes
+    heads: int,
+    *,
+    scale: Optional[float] = None,
+    causal: bool = False,
+) -> Array:
+    """Fused attention middle over the PACKED qkv projection.
+
+    Motivation (measured, ViT-B/32 batch 512 on v5e): the attention middle
+    — head-split relayouts, the [B,H,N,N] logits HBM round-trips, softmax
+    — costs ~2 ms/block on the XLA path, ~25 ms of a 55 ms forward, while
+    its compulsory HBM traffic (read qkv once, write the context once) is
+    <0.2 ms/batch.  The earlier whole-row kernel (``fused_sdpa``) lost
+    in-network because callers had to transpose to head-major and pad
+    around the opaque call; this form takes the in_proj output verbatim
+    and returns [B, N, H·Dh] ready for out_proj, so the kernel boundary
+    adds zero layout work.
+
+    Returns the context tensor [B, N, H·Dh].  Falls back to ``sdpa`` via
+    the caller when shapes don't fit (see ``_packed_group``).
+    """
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    assert D % heads == 0 and threeD == 3 * D
+    G = _packed_group(B, N, D, heads)
+    if G is None:
+        Dh = D // heads
+        q, k, v = (t.reshape(B, N, heads, Dh) for t in jnp.split(qkv, 3, -1))
+        return sdpa(q, k, v, scale=scale, causal=causal, fused=False)
+    s = (D // heads) ** -0.5 if scale is None else scale
+    spec_in = pl.BlockSpec((G, N, threeD), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, heads=heads, scale=s,
+                          causal=causal, n_valid=N),
+        grid=(B // G,),
+        in_specs=[spec_in],
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qkv)
+
+
 def sdpa(
     q: Array,  # [B, N, H, Dh] (heads in dim 2, as produced by qkv reshape)
     k: Array,

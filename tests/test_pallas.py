@@ -179,3 +179,45 @@ def test_clip_folded_pixel_norm_matches_explicit(rng):
                                   dtype=jnp.float32, normalize_pixels=False)
     np.testing.assert_allclose(np.asarray(out_u8), np.asarray(ref_u8),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_sdpa_packed_matches_unfused(rng):
+    """The packed-qkv kernel (interpret mode here) must reproduce the XLA
+    attention middle it replaces in the towers (ops/attention.sdpa_packed;
+    shipped default on TPU for the unbiased encoder blocks)."""
+    from clipcap_tpu.ops.attention import sdpa, sdpa_packed
+
+    B, N, heads, Dh = 4, 50, 4, 32
+    D = heads * Dh
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * D)).astype(np.float32))
+    got = sdpa_packed(qkv, heads)
+    q, k, v = (t.reshape(B, N, heads, Dh) for t in jnp.split(qkv, 3, -1))
+    want = sdpa(q, k, v, fused=False).reshape(B, N, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    # causal form (text-tower shape)
+    got_c = sdpa_packed(qkv, heads, causal=True)
+    want_c = sdpa(q, k, v, causal=True, fused=False).reshape(B, N, D)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_clip_forward_packed_attention_matches_xla(rng, monkeypatch):
+    """clip_encode_image with CLIPCAP_FUSED_ATTN=1 (packed-qkv Pallas path,
+    interpret mode on CPU) must match the XLA path — the on-TPU default
+    routes through this kernel (models/clip_vit._packed_attn_enabled)."""
+    import clipcap_tpu.models.clip_vit as cv
+
+    cfg = cv.CLIPVisionConfig(image_size=32, patch_size=16, width=64,
+                              layers=2, heads=4, embed_dim=32)
+    params = cv.init_clip_vision(cfg, seed=0)
+    imgs = (rng.random((4, 32, 32, 3)) * 255).astype(np.uint8)
+
+    monkeypatch.setenv("CLIPCAP_FUSED_ATTN", "0")
+    want = np.asarray(cv.clip_encode_image(params, cfg, jnp.asarray(imgs),
+                                           dtype=jnp.float32))
+    monkeypatch.setenv("CLIPCAP_FUSED_ATTN", "1")
+    got = np.asarray(cv.clip_encode_image(params, cfg, jnp.asarray(imgs),
+                                          dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
