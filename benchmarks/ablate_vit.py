@@ -74,6 +74,46 @@ def _embed_patches(params, images):
     return layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
 
 
+def _embed_patches_variant(params, images, *, how: str):
+    """Patch-embed stage with the patchify/convert order or algorithm
+    swapped (the stage costs ~6.6 ms at b512 against ~2 ms of explained
+    work — these modes bisect where the slack is):
+
+    * u8patch — patchify (reshape/transpose) in uint8 FIRST, astype after:
+      halves the bytes moved by the 6-d transpose vs transposing bf16.
+    * conv — lax.conv_general_dilated stride-P on the bf16 NHWC input;
+      XLA's dedicated conv lowering picks its own im2col strategy.
+    """
+    cfg = CFG.vision
+    P = cfg.patch_size
+    pp = P * P
+    mean_p = jnp.repeat(jnp.asarray(IMAGE_MEAN, jnp.float32), pp)
+    std_p = jnp.repeat(jnp.asarray(IMAGE_STD, jnp.float32), pp)
+    scale_p = (1.0 / std_p) / 255.0
+    w0 = params["patch_embed"]["w"]
+    w = (w0.astype(jnp.float32) * scale_p[:, None]).astype(DT)
+    bias0 = (-(mean_p / std_p) @ w0.astype(jnp.float32)).astype(DT)
+    if how == "u8patch":
+        x = patchify(images, P).astype(DT)
+        x = linear(x, w, bias0, None)
+    elif how == "conv":
+        # shipping weight rows are (c, ph, pw); conv HWIO wants [P, P, 3, D]
+        kern = jnp.transpose(w.reshape(3, P, P, -1), (1, 2, 0, 3))
+        y = jax.lax.conv_general_dilated(
+            images.astype(DT), kern, window_strides=(P, P), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        B = y.shape[0]
+        x = y.reshape(B, -1, cfg.width) + bias0
+    else:
+        raise ValueError(how)
+    B = x.shape[0]
+    cls = jnp.broadcast_to(params["class_embedding"].astype(DT)[None, None],
+                           (B, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"].astype(DT)[None]
+    return layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
+
+
 def _embed_patches_flat(params, images_flat):
     """Patch embed from [B, H, W·C] uint8 input (flat-staged ingest
     candidate: same bytes as HWC, reshaped for free on the host before
@@ -261,9 +301,13 @@ def build(mode: str, params):
 
         return jax.jit(fwdf)
 
-    if mode in ("qkvpal", "qkvcombo", "flatqkv"):
-        last_cls = mode in ("qkvcombo", "flatqkv")
-        embed = _embed_patches_flat if mode == "flatqkv" else _embed_patches
+    if mode in ("qkvpal", "qkvcombo", "flatqkv", "qkvu8", "qkvconv"):
+        last_cls = mode != "qkvpal"
+        embed = {
+            "flatqkv": _embed_patches_flat,
+            "qkvu8": partial(_embed_patches_variant, how="u8patch"),
+            "qkvconv": partial(_embed_patches_variant, how="conv"),
+        }.get(mode, _embed_patches)
 
         def fwd3(x):
             h = embed(vp, x)
@@ -366,7 +410,7 @@ def main():
     exact_modes = [m for m in modes
                    if m in ("lastcls", "nhm", "dpa", "noexpmax", "padn64",
                             "combo", "qkvpal", "qkvcombo", "flatin",
-                            "flatcombo", "flatqkv")]
+                            "flatcombo", "flatqkv", "qkvu8", "qkvconv")]
     if exact_modes:
         f_full = build("full", params)
         a = np.asarray(f_full(batches[0][:8]), np.float32)
