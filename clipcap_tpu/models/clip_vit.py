@@ -222,9 +222,9 @@ def _clip_block(x: Array, layer: Params, heads: int, eps: float, bias, precision
         # Packed-qkv Pallas kernel: takes the in_proj output verbatim and
         # returns the out_proj input — zero layout work at the kernel
         # boundary (the earlier whole-row kernel lost exactly there; see
-        # ops/attention.py for both measured verdicts).  Falls back to the
-        # XLA path internally when the shape exceeds the VMEM budget
-        # (e.g. ViT-L/14's 257 tokens).
+        # ops/attention.py for all measured verdicts).  Picks the stripe or
+        # whole-row form per shape; falls back to the XLA path internally
+        # when neither fits the VMEM budget.
         attn = sdpa_packed(qkv, heads)
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -26,6 +26,7 @@ Falls back to interpret mode off-TPU so CPU tests exercise the same code.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -179,6 +180,64 @@ def _packed_group(B: int, N: int, D: int, heads: int) -> Optional[int]:
     return None
 
 
+def _packed_stripe_kernel(q_ref, k_ref, v_ref, o_ref, *, sub, scale, causal,
+                          n_valid):
+    """Attention middle for one sample group and ONE 128-lane head stripe
+    (``sub`` heads of width 128//sub).  The stripe variant exists for rows
+    too long for the whole-row kernel's VMEM budget (ViT-L/14: 257 tokens):
+    lane-blocked BlockSpecs hand each grid step only its own q/k/v stripes,
+    so total HBM traffic is still read-qkv-once + write-out-once."""
+    q2, k2, v2 = q_ref[:], k_ref[:], v_ref[:]         # [G, N, 128]
+    G, N, _ = q2.shape
+    dh = 128 // sub
+    mask = None
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+    if n_valid < N:
+        mask = kpos < n_valid
+    if causal:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+        cm = kpos <= qpos
+        mask = cm if mask is None else jnp.logical_and(mask, cm)
+    outs = []
+    for i in range(sub):
+        q = jax.lax.slice_in_dim(q2, i * dh, (i + 1) * dh, axis=2)
+        k = jax.lax.slice_in_dim(k2, i * dh, (i + 1) * dh, axis=2)
+        v = jax.lax.slice_in_dim(v2, i * dh, (i + 1) * dh, axis=2)
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if mask is not None:
+            logits = jnp.where(mask, logits, _NEG)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q2.dtype)
+        outs.append(jax.lax.dot_general(
+            w, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(q2.dtype))
+    o_ref[:] = outs[0] if sub == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _stripe_group(B: int, N: int, sub: int) -> Optional[int]:
+    """Sample-group size for the stripe kernel (same padding/liveness
+    discipline as _packed_group, but per 128-lane stripe)."""
+
+    def rup(x, m):
+        return ((x + m - 1) // m) * m
+
+    for g in (8, 4, 2, 1):
+        if B % g:
+            continue
+        bufs = 2 * 4 * g * rup(N, 16) * 128 * 2     # q/k/v/out double-buffered
+        per_sub = (2 * rup(N, 8) * rup(N, 128) * 4
+                   + rup(N, 16) * rup(N, 128) * 2
+                   + rup(N, 16) * 128 * 2)
+        if bufs + sub * g * per_sub <= 12 * 1024 * 1024:
+            return g
+    return None
+
+
 def sdpa_packed(
     qkv: Array,  # [B, N, 3·H·Dh] — the in_proj output, q|k|v on lanes
     heads: int,
@@ -203,26 +262,63 @@ def sdpa_packed(
     """
     B, N, threeD = qkv.shape
     D = threeD // 3
+    Dh = D // heads
     assert D % heads == 0 and threeD == 3 * D
-    G = _packed_group(B, N, D, heads)
-    if G is None:
-        Dh = D // heads
-        q, k, v = (t.reshape(B, N, heads, Dh) for t in jnp.split(qkv, 3, -1))
-        return sdpa(q, k, v, scale=scale, causal=causal, fused=False)
-    s = (D // heads) ** -0.5 if scale is None else scale
-    spec_in = pl.BlockSpec((G, N, threeD), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_packed_kernel, heads=heads, scale=s,
-                          causal=causal, n_valid=N),
-        grid=(B // G,),
-        in_specs=[spec_in],
-        out_specs=spec_out,
-        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
-        interpret=jax.default_backend() != "tpu",
-    )(qkv)
+    s = Dh ** -0.5 if scale is None else scale
+    interpret = jax.default_backend() != "tpu"
+
+    # Form preference (measured, v5e): the STRIPE form — grid over 128-lane
+    # head stripes with lane-blocked specs on the same packed array — is
+    # neutral-or-better than the whole-row form everywhere it applies
+    # (ViT-B/32 b512 ~+1%, B/16 b128 +6%, and it is the only form that fits
+    # L/14's 257-token rows: 663 -> 855 embeds/s).  Whole-row remains for
+    # shapes the stripe can't block (D not a multiple of 128, or Dh not a
+    # divisor of 128) and via CLIPCAP_PACKED_FORM=row.
+    form = os.environ.get("CLIPCAP_PACKED_FORM", "")  # "", "row", "stripe"
+    if form != "row" and D % 128 == 0 and 128 % Dh == 0:
+        sub = 128 // Dh                       # heads per stripe (1 or 2)
+        stripes = D // 128
+        Gs = _stripe_group(B, N, sub)
+        if Gs is not None:
+            dq = pl.BlockSpec((Gs, N, 128), lambda b, j: (b, 0, j),
+                              memory_space=pltpu.VMEM)
+            dk = pl.BlockSpec((Gs, N, 128),
+                              lambda b, j, _s=stripes: (b, 0, _s + j),
+                              memory_space=pltpu.VMEM)
+            dv = pl.BlockSpec((Gs, N, 128),
+                              lambda b, j, _s=stripes: (b, 0, 2 * _s + j),
+                              memory_space=pltpu.VMEM)
+            do = pl.BlockSpec((Gs, N, 128), lambda b, j: (b, 0, j),
+                              memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                functools.partial(_packed_stripe_kernel, sub=sub, scale=s,
+                                  causal=causal, n_valid=N),
+                grid=(B // Gs, stripes),
+                in_specs=[dq, dk, dv],
+                out_specs=do,
+                out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+                interpret=interpret,
+            )(qkv, qkv, qkv)
+
+    if form != "stripe":
+        G = _packed_group(B, N, D, heads)
+        if G is not None:
+            spec_in = pl.BlockSpec((G, N, threeD), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            spec_out = pl.BlockSpec((G, N, D), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                functools.partial(_packed_kernel, heads=heads, scale=s,
+                                  causal=causal, n_valid=N),
+                grid=(B // G,),
+                in_specs=[spec_in],
+                out_specs=spec_out,
+                out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+                interpret=interpret,
+            )(qkv)
+
+    q, k, v = (t.reshape(B, N, heads, Dh) for t in jnp.split(qkv, 3, -1))
+    return sdpa(q, k, v, scale=scale, causal=causal, fused=False)
 
 
 def sdpa(

@@ -221,3 +221,26 @@ def test_clip_forward_packed_attention_matches_xla(rng, monkeypatch):
     got = np.asarray(cv.clip_encode_image(params, cfg, jnp.asarray(imgs),
                                           dtype=jnp.float32))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_sdpa_packed_stripe_long_rows(rng):
+    """Rows too long for the whole-row VMEM budget (ViT-L/14's 257 tokens)
+    route to the 128-lane stripe kernel — lane-blocked specs over the same
+    packed array.  Covers both sub-head widths (Dh=64 -> 2 heads/stripe,
+    Dh=128 -> 1)."""
+    from clipcap_tpu.ops import attention as at
+
+    for heads, Dh in ((4, 64), (4, 128)):
+        D = heads * Dh
+        B, N = 2, 600
+        assert at._packed_group(B, N, D, heads) is None  # stripe path taken
+        qkv = jnp.asarray(rng.standard_normal((B, N, 3 * D)).astype(np.float32))
+        got = at.sdpa_packed(qkv, heads)
+        q, k, v = (t.reshape(B, N, heads, Dh) for t in jnp.split(qkv, 3, -1))
+        want = at.sdpa(q, k, v, fused=False).reshape(B, N, D)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=3e-5)
+        got_c = at.sdpa_packed(qkv, heads, causal=True)
+        want_c = at.sdpa(q, k, v, causal=True, fused=False).reshape(B, N, D)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                                   atol=3e-5, rtol=3e-5)
