@@ -58,12 +58,14 @@ Array = jax.Array
 # Upper bound on cache slots per u-tile (the actual tile is the largest
 # sublane-aligned divisor of the buffer ≤ this — ``_pick_u_tile``): small
 # enough for tight dynamic bounds, big enough for well-shaped DMAs.
-# Overridable for on-hardware tuning.  96 measured best for the folded
-# 384-slot gpt2-xl beam buffer (53.7 vs 52.5 captions/s at 128 — the
-# tighter dynamic bound beats the fatter DMA); buffers without a divisor
-# in (64, 96] (e.g. the 400-slot replicated layout) pick the same 80-slot
-# tile either way.
-_U_TILE = int(_os.environ.get("CLIPCAP_FLASH_U_TILE", 96))
+# Overridable for on-hardware tuning.  The full sweep over the folded
+# 384-slot beam buffer's aligned divisors (gpt2-xl batch 96, v5e):
+# 48 → 54.5, **64 → 55.1**, 96 → 53.7, 128 → 52.5 captions/s — the curve
+# peaks at 64 (tight dynamic bound, still a well-shaped DMA); gpt2 base
+# at batch 128 agrees (432 vs 424 at 96).  Buffers without a divisor near
+# 64 (e.g. the 400-slot replicated layout) pick the closest (80) either
+# way.
+_U_TILE = int(_os.environ.get("CLIPCAP_FLASH_U_TILE", 64))
 _SUBLANE = 16  # sublane tile of the (slots, lanes) trailing dims
 
 
