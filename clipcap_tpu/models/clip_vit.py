@@ -211,8 +211,13 @@ def _packed_attn_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _clip_block(x: Array, layer: Params, heads: int, eps: float, bias, precision) -> Array:
-    """Pre-norm transformer block with standard (biased) MHA + QuickGELU MLP."""
+def _clip_block(x: Array, layer: Params, heads: int, eps: float, bias, precision,
+                causal: bool = False) -> Array:
+    """Pre-norm transformer block with standard (biased) MHA + QuickGELU MLP.
+
+    ``causal`` replaces the text tower's additive NEG_INF bias (same masked
+    softmax, kernel-eligible); ``bias`` remains for arbitrary additive
+    biases, which take the XLA path."""
     B, N, D = x.shape
     Dh = D // heads
 
@@ -225,13 +230,14 @@ def _clip_block(x: Array, layer: Params, heads: int, eps: float, bias, precision
         # ops/attention.py for all measured verdicts).  Picks the stripe or
         # whole-row form per shape; falls back to the XLA path internally
         # when neither fits the VMEM budget.
-        attn = sdpa_packed(qkv, heads)
+        attn = sdpa_packed(qkv, heads, causal=causal)
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, N, heads, Dh)
         k = k.reshape(B, N, heads, Dh)
         v = v.reshape(B, N, heads, Dh)
-        attn = sdpa(q, k, v, bias=bias, fused=False).reshape(B, N, D)
+        attn = sdpa(q, k, v, bias=bias, causal=causal,
+                    fused=False).reshape(B, N, D)
     attn = linear(attn, layer["attn"]["out_proj"]["w"], layer["attn"]["out_proj"]["b"], precision)
     x = x + attn
 
@@ -354,12 +360,11 @@ def clip_encode_text(
     x = jnp.take(params["token_embedding"], tokens, axis=0).astype(dtype)
     x = x + params["positional_embedding"].astype(dtype)[None]
 
-    N = cfg.context_length
-    q_pos = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-    bias = jnp.where(k_pos <= q_pos, 0.0, NEG_INF).astype(jnp.float32)[None, None]
-
-    block = partial(_clip_block, heads=cfg.heads, eps=1e-5, bias=bias, precision=precision)
+    # Causal masking via the flag (kernel-eligible) rather than an additive
+    # NEG_INF bias — identical masked softmax (exp underflows to 0 either
+    # way under the row-max shift); HF-parity tested.
+    block = partial(_clip_block, heads=cfg.heads, eps=1e-5, bias=None,
+                    causal=True, precision=precision)
 
     def scan_fn(carry, layer):
         return block(carry, layer), None

@@ -222,6 +222,20 @@ def test_clip_forward_packed_attention_matches_xla(rng, monkeypatch):
                                           dtype=jnp.float32))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
+    # text tower: causal flag routes through the kernel too
+    tcfg = cv.CLIPTextConfig(vocab_size=128, context_length=16, width=64,
+                             layers=2, heads=4, embed_dim=32)
+    tparams = cv.init_clip_text(tcfg, seed=1)
+    toks = np.zeros((3, 16), np.int32)
+    toks[:, :5] = rng.integers(1, 127, (3, 5))
+    monkeypatch.setenv("CLIPCAP_FUSED_ATTN", "0")
+    twant = np.asarray(cv.clip_encode_text(tparams, tcfg, jnp.asarray(toks),
+                                           dtype=jnp.float32))
+    monkeypatch.setenv("CLIPCAP_FUSED_ATTN", "1")
+    tgot = np.asarray(cv.clip_encode_text(tparams, tcfg, jnp.asarray(toks),
+                                          dtype=jnp.float32))
+    np.testing.assert_allclose(tgot, twant, atol=2e-5, rtol=2e-5)
+
 
 def test_sdpa_packed_stripe_long_rows(rng):
     """Rows too long for the whole-row VMEM budget (ViT-L/14's 257 tokens)
