@@ -5,7 +5,9 @@ Prints TWO numbers per batch size:
   with random weights most rows exit long before 67 tokens, inflating
   captions/s relative to the always-67-token beam numbers);
 * forced-67 — stop token disabled, every row generates all 67 tokens
-  (the length-comparable figure; VERDICT r2 weak #4).
+  (the length-comparable figure; VERDICT r2 weak #4);
+* topk-mix — top-k 40 + top-p 0.9 + repetition penalty 1.2, forced 67
+  tokens (the docs/performance.md "Top-k/top-p sampling" row).
 """
 import sys
 import time
@@ -30,8 +32,13 @@ cfg = get_gpt2_config("gpt2")
 params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), init_gpt2(cfg, 0))
 rng = np.random.default_rng(0)
 prefix = jnp.asarray(rng.normal(size=(B, 10, cfg.n_embd)) * 0.02, jnp.bfloat16)
-for label, stop in (("early-exit", 50256), ("forced-67", -1)):
-    sp = SamplingParams(max_new_tokens=67, top_p=0.95, stop_token=stop)
+CONFIGS = (
+    ("early-exit", SamplingParams(max_new_tokens=67, top_p=0.95, stop_token=50256)),
+    ("forced-67", SamplingParams(max_new_tokens=67, top_p=0.95, stop_token=-1)),
+    ("topk-mix", SamplingParams(max_new_tokens=67, top_k=40, top_p=0.9,
+                                repetition_penalty=1.2, stop_token=-1)),
+)
+for label, sp in CONFIGS:
     t0 = time.perf_counter()
     res = decode(params, cfg, prefix, jax.random.PRNGKey(0), sp, dtype=jnp.bfloat16)
     print(f"{label} compile+run: {time.perf_counter()-t0:.1f}s", flush=True)

@@ -40,6 +40,69 @@ def quantize_linear(w: jax.Array) -> Dict[str, jax.Array]:
     return {"q": q, "s": s[..., 0, :].astype(jnp.float32)}
 
 
+def quantize_rows(x: jax.Array):
+    """Dynamic per-row (per-token) symmetric int8 over the trailing dim:
+    ``x ≈ q * s`` with ``s = absmax / 127``.  The row scale is computed on
+    the fly — this is the activation side of a w8a8 matmul."""
+    absmax = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1, keepdims=True)
+    s = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / s).astype(jnp.int8)
+    return q, s
+
+
+def int8_linear(x: jax.Array, w: Dict[str, jax.Array], b=None,
+                precision=None) -> jax.Array:
+    """w8a8 linear: dynamic per-token activation int8 × per-channel int8
+    weight, contracted as int8×int8→int32 **on the MXU** (TPU v5e runs int8
+    dots at 2x the bf16 FLOP rate), rescaled in fp32.
+
+    ``w`` is the ``{"q": int8 [in, out], "s": fp32 [out]}`` form from
+    ``quantize_linear``.  Unlike ``ops/layers.linear``'s weight-only int8
+    path (which widens q to the activation dtype and pays bf16 FLOPs), this
+    quantizes the *activations* too, so the dot itself runs at the int8
+    rate; error is per-token-absmax rounding on x plus per-channel rounding
+    on w.  ``precision`` is accepted for signature compatibility (integer
+    dots have no precision knob)."""
+    del precision
+    q, s = quantize_rows(x)
+    acc = jax.lax.dot_general(
+        q, w["q"], (((q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s * w["s"].astype(jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantize_clip_visual_int8(params: Params) -> Params:
+    """Return a copy of a CLIP vision param tree (models/clip_vit.py layout)
+    with the stacked block matmul weights (attn in_proj/out_proj, mlp
+    c_fc/c_proj) in int8 ``{"q","s"}`` form.  The leading layer-stack dim is
+    preserved (``quantize_linear`` scales per (layer, out_channel)), so the
+    quantized leaves slice through ``lax.scan`` like the fp32 ones.
+    Patch embed, class/positional embeddings, layer norms, and the final
+    projection stay in float — they are a small fraction of the FLOPs and
+    the fold of pixel normalization into patch_embed must stay exact."""
+    blocks = params["blocks"]
+    new_blocks = {
+        "ln_1": blocks["ln_1"],
+        "attn": {
+            "in_proj": {"w": quantize_linear(blocks["attn"]["in_proj"]["w"]),
+                        "b": blocks["attn"]["in_proj"]["b"]},
+            "out_proj": {"w": quantize_linear(blocks["attn"]["out_proj"]["w"]),
+                         "b": blocks["attn"]["out_proj"]["b"]},
+        },
+        "ln_2": blocks["ln_2"],
+        "mlp": {
+            "c_fc": {"w": quantize_linear(blocks["mlp"]["c_fc"]["w"]),
+                     "b": blocks["mlp"]["c_fc"]["b"]},
+            "c_proj": {"w": quantize_linear(blocks["mlp"]["c_proj"]["w"]),
+                       "b": blocks["mlp"]["c_proj"]["b"]},
+        },
+    }
+    return {**params, "blocks": new_blocks}
+
+
 def quantize_gpt2_int8(params: Params) -> Params:
     """Return a copy of a GPT-2 param tree with the transformer matmul
     weights (attn c_attn/c_proj, mlp c_fc/c_proj) in int8 {"q","s"} form.
