@@ -1,8 +1,10 @@
 """ViT image-embedding throughput sweep (the second north star: >= 10k
 ViT-B/32 embeds/s/chip, BASELINE.json).
 
-Usage: python benchmarks/bench_clip.py [variant] [batch ...]
-Defaults: ViT-B/32 over batches 256 512 1024.
+Usage: python benchmarks/bench_clip.py [variant] [batch ...] [int8]
+Defaults: ViT-B/32 over batches 256 512 1024.  ``int8`` switches the block
+projections to the w8a8 path (--int8-encoder) and also prints the
+embedding fidelity (cosine vs the bf16 path) of the first batch.
 
 Measures the same jitted forward the preprocess pipeline runs
 (``clip_encode_image`` in bf16), with the production input contract:
@@ -41,7 +43,7 @@ TRIALS = 3
 
 
 def measure(variant: str, batch: int, rounds: int = ROUNDS,
-            trials: int = TRIALS) -> tuple[float, list[float]]:
+            trials: int = TRIALS, int8: bool = False) -> tuple[float, list[float]]:
     cfg = get_clip_config(variant)
     params = jax.tree_util.tree_map(
         lambda p: p.astype(jnp.bfloat16), init_clip(cfg, seed=0))
@@ -53,8 +55,26 @@ def measure(variant: str, batch: int, rounds: int = ROUNDS,
         for _ in range(rounds)
     ]
 
-    fwd = jax.jit(lambda p, x: clip_encode_image(p["visual"], cfg.vision, x,
-                                                 dtype=jnp.bfloat16))
+    vparams = params["visual"]
+    if int8:
+        from clipcap_tpu.ops.quant import quantize_clip_visual_int8
+
+        qparams = jax.device_put(quantize_clip_visual_int8(vparams))
+        fwd_bf16 = jax.jit(lambda p, x: clip_encode_image(
+            p, cfg.vision, x, dtype=jnp.bfloat16))
+        fwd = jax.jit(lambda p, x: clip_encode_image(
+            p, cfg.vision, x, dtype=jnp.bfloat16, int8_acts=True))
+        a = np.asarray(fwd_bf16(vparams, batches[0]), np.float32)
+        b = np.asarray(fwd(qparams, batches[0]), np.float32)
+        cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                                 * np.linalg.norm(b, axis=-1) + 1e-9)
+        print(f"  int8 fidelity: cos min {cos.min():.5f} mean {cos.mean():.5f}",
+              file=sys.stderr)
+        vparams = qparams
+    else:
+        fwd = jax.jit(lambda p, x: clip_encode_image(p, cfg.vision, x,
+                                                     dtype=jnp.bfloat16))
+    params = vparams
     float(jnp.sum(fwd(params, batches[0])[:, :1]))  # warmup/compile + sync
 
     per_trial = []
@@ -73,11 +93,14 @@ def measure(variant: str, batch: int, rounds: int = ROUNDS,
 
 def main() -> None:
     args = sys.argv[1:]
+    int8 = "int8" in args
+    args = [a for a in args if a != "int8"]
     variant = args[0] if args and not args[0].isdigit() else "ViT-B/32"
     batches = [int(a) for a in args if a.isdigit()] or [256, 512, 1024]
     for b in batches:
-        best, per_trial = measure(variant, b)
-        print(f"{variant} batch {b}: best {best:.0f} embeds/s  trials={per_trial}")
+        best, per_trial = measure(variant, b, int8=int8)
+        tag = " (int8)" if int8 else ""
+        print(f"{variant}{tag} batch {b}: best {best:.0f} embeds/s  trials={per_trial}")
 
 
 if __name__ == "__main__":

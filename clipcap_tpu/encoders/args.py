@@ -27,6 +27,13 @@ def add_encoder_args(parser: ArgumentParser) -> ArgumentParser:
         help="Optional local checkpoint for the encoder weights (OpenAI CLIP "
              ".pt / HF CLIPModel / laion_clap .pt).",
     )
+    encoder.add_argument(
+        "--int8-encoder", type=str2bool, default=False, dest="int8_encoder",
+        help="Run the CLIP ViT block projections as w8a8 int8 matmuls "
+             "(int8 MXU rate; measured throughput/fidelity in "
+             "docs/performance.md). A runtime serving choice — not stored "
+             "in encoder_config.yaml.",
+    )
 
     windowed = parser.add_argument_group("windowed")
     windowed.add_argument(

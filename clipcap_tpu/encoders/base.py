@@ -25,6 +25,7 @@ def get_encoder(
     window_overlap_percentage: float = 0.0,
     device: str = "tpu",
     checkpoint_path: Optional[str] = None,
+    int8: bool = False,
 ) -> Tuple[Callable, Callable]:
     kwargs = {
         "normalize_embeddings": normalize_embeddings,
@@ -38,9 +39,14 @@ def get_encoder(
             use_windowed_embeddings=use_windowed_embeddings,
             window_size=window_size,
             window_overlap_percentage=window_overlap_percentage,
+            int8=int8,
             **kwargs,
         )
     elif encoder_model_name == "clap":
+        if int8:
+            raise ValueError(
+                "--int8-encoder is CLIP-only (HTSAT's head_dim-24 Swin "
+                "blocks don't take the w8a8 path)")
         from clipcap_tpu.encoders.clap import get_clap_encoder
 
         return get_clap_encoder(encoder_model_variant, **kwargs)
@@ -49,7 +55,8 @@ def get_encoder(
 
 
 def get_encoder_from_config(config: EncoderConfig, device: str = "tpu",
-                            checkpoint_path: Optional[str] = None):
+                            checkpoint_path: Optional[str] = None,
+                            int8: bool = False):
     variant = config.encoder_model_variant
     if config.encoder_model_name == "clip":
         # CLI variant un-mangling "_" → "/" (reference base.py:29-30).
@@ -63,6 +70,7 @@ def get_encoder_from_config(config: EncoderConfig, device: str = "tpu",
         window_overlap_percentage=config.window_overlap_percentage,
         device=device,
         checkpoint_path=checkpoint_path,
+        int8=int8,
     )
 
 

@@ -148,17 +148,29 @@ class CLIPEncoder:
 
     def __init__(self, params, config: CLIPConfig, normalize_embeddings: bool = False,
                  use_windowed_embeddings: bool = False, dtype=jnp.bfloat16,
-                 precision=None):
+                 precision=None, int8: bool = False):
         self.params = params
         self.config = config
         self.normalize_embeddings = normalize_embeddings
         self.use_windowed_embeddings = use_windowed_embeddings
         self.embedding_size = config.vision.embed_dim
+        self.int8 = int8
+        if int8:
+            # w8a8 serving form: block projection weights as per-channel
+            # int8 (quantized once here), activations per-token int8 at
+            # each projection.  Embedding fidelity is measured, not free —
+            # see tests/test_pallas.py::test_clip_int8_fidelity and the
+            # pretrained-weights gate in tests/test_pretrained.py.
+            from clipcap_tpu.ops.quant import quantize_clip_visual_int8
+
+            self.params = {**params,
+                           "visual": quantize_clip_visual_int8(params["visual"])}
 
         @partial(jax.jit, static_argnames=())
         def _forward(params, images):
             out = clip_encode_image(params, config.vision, images,
-                                    dtype=dtype, precision=precision)
+                                    dtype=dtype, precision=precision,
+                                    int8_acts=int8)
             if normalize_embeddings:
                 out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
             # On-disk dataset contract is float32 npy (bfloat16 is a compute
@@ -217,6 +229,7 @@ def get_clip_encoder(
     window_overlap_percentage: float = 0.0,
     checkpoint_path: Optional[str] = None,
     dtype=jnp.bfloat16,
+    int8: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Reference ``get_clip_encoder`` (clip.py:132-153): returns
     ``(model, transform)``."""
@@ -232,5 +245,6 @@ def get_clip_encoder(
         normalize_embeddings=normalize_embeddings,
         use_windowed_embeddings=use_windowed_embeddings,
         dtype=dtype,
+        int8=int8,
     )
     return model, transform

@@ -212,17 +212,19 @@ def _packed_attn_enabled() -> bool:
 
 
 def _clip_block(x: Array, layer: Params, heads: int, eps: float, bias, precision,
-                causal: bool = False) -> Array:
+                causal: bool = False, lin=linear) -> Array:
     """Pre-norm transformer block with standard (biased) MHA + QuickGELU MLP.
 
     ``causal`` replaces the text tower's additive NEG_INF bias (same masked
     softmax, kernel-eligible); ``bias`` remains for arbitrary additive
-    biases, which take the XLA path."""
+    biases, which take the XLA path.  ``lin`` is the projection primitive —
+    ``ops.layers.linear`` (bf16 MXU) or ``ops.quant.int8_linear`` (w8a8:
+    int8 MXU at ~1.4x the bf16 rate; attention math stays bf16)."""
     B, N, D = x.shape
     Dh = D // heads
 
     h = layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"], eps)
-    qkv = linear(h, layer["attn"]["in_proj"]["w"], layer["attn"]["in_proj"]["b"], precision)
+    qkv = lin(h, layer["attn"]["in_proj"]["w"], layer["attn"]["in_proj"]["b"], precision)
     if bias is None and _packed_attn_enabled():
         # Packed-qkv Pallas kernel: takes the in_proj output verbatim and
         # returns the out_proj input — zero layout work at the kernel
@@ -238,17 +240,18 @@ def _clip_block(x: Array, layer: Params, heads: int, eps: float, bias, precision
         v = v.reshape(B, N, heads, Dh)
         attn = sdpa(q, k, v, bias=bias, causal=causal,
                     fused=False).reshape(B, N, D)
-    attn = linear(attn, layer["attn"]["out_proj"]["w"], layer["attn"]["out_proj"]["b"], precision)
+    attn = lin(attn, layer["attn"]["out_proj"]["w"], layer["attn"]["out_proj"]["b"], precision)
     x = x + attn
 
     h = layer_norm(x, layer["ln_2"]["scale"], layer["ln_2"]["bias"], eps)
-    h = linear(h, layer["mlp"]["c_fc"]["w"], layer["mlp"]["c_fc"]["b"], precision)
+    h = lin(h, layer["mlp"]["c_fc"]["w"], layer["mlp"]["c_fc"]["b"], precision)
     h = quick_gelu(h)
-    h = linear(h, layer["mlp"]["c_proj"]["w"], layer["mlp"]["c_proj"]["b"], precision)
+    h = lin(h, layer["mlp"]["c_proj"]["w"], layer["mlp"]["c_proj"]["b"], precision)
     return x + h
 
 
-def _clip_block_cls(x: Array, layer: Params, heads: int, eps: float, precision) -> Array:
+def _clip_block_cls(x: Array, layer: Params, heads: int, eps: float, precision,
+                    lin=linear) -> Array:
     """The final vision block restricted to the class-token output row.
 
     ``clip_encode_image`` keeps only ``x[:, 0]`` after the last block, so
@@ -260,18 +263,18 @@ def _clip_block_cls(x: Array, layer: Params, heads: int, eps: float, precision) 
     B, N, D = x.shape
     Dh = D // heads
     h = layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"], eps)
-    qkv = linear(h, layer["attn"]["in_proj"]["w"], layer["attn"]["in_proj"]["b"], precision)
+    qkv = lin(h, layer["attn"]["in_proj"]["w"], layer["attn"]["in_proj"]["b"], precision)
     q, k, v = (t.reshape(B, N, heads, Dh) for t in jnp.split(qkv, 3, -1))
     q0 = q[:, :1]
     logits = jnp.einsum("bnhd,bmhd->bhnm", q0, k) * (Dh ** -0.5)
     w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
     a = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(B, 1, D)
-    x0 = x[:, :1] + linear(a, layer["attn"]["out_proj"]["w"],
-                           layer["attn"]["out_proj"]["b"], precision)
+    x0 = x[:, :1] + lin(a, layer["attn"]["out_proj"]["w"],
+                        layer["attn"]["out_proj"]["b"], precision)
     h = layer_norm(x0, layer["ln_2"]["scale"], layer["ln_2"]["bias"], eps)
-    h = linear(h, layer["mlp"]["c_fc"]["w"], layer["mlp"]["c_fc"]["b"], precision)
-    x0 = x0 + linear(quick_gelu(h), layer["mlp"]["c_proj"]["w"],
-                     layer["mlp"]["c_proj"]["b"], precision)
+    h = lin(h, layer["mlp"]["c_fc"]["w"], layer["mlp"]["c_fc"]["b"], precision)
+    x0 = x0 + lin(quick_gelu(h), layer["mlp"]["c_proj"]["w"],
+                  layer["mlp"]["c_proj"]["b"], precision)
     return x0[:, 0]
 
 
@@ -295,9 +298,16 @@ def clip_encode_image(
     dtype=jnp.float32,
     precision=None,
     normalize_pixels: bool = True,
+    int8_acts: bool = False,
 ) -> Array:
     """ViT forward → [B, embed_dim] joint-space embeddings
-    (``model.encode_image``, reference clip.py:121)."""
+    (``model.encode_image``, reference clip.py:121).
+
+    ``int8_acts=True`` runs the block projections as w8a8 int8 matmuls
+    (``ops.quant.int8_linear``); ``params["blocks"]`` must then hold the
+    ``{"q","s"}`` weights from ``ops.quant.quantize_clip_visual_int8``.
+    Attention math, layer norms, patch embed, and the final projection
+    stay in the compute dtype."""
     x = images.astype(dtype)
 
     # Fold pixel normalization (and the uint8 /255) INTO the patch-embed
@@ -331,7 +341,13 @@ def clip_encode_image(
     x = x + params["positional_embedding"].astype(dtype)[None]
     x = layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
 
-    block = partial(_clip_block, heads=cfg.heads, eps=1e-5, bias=None, precision=precision)
+    lin = linear
+    if int8_acts:
+        from clipcap_tpu.ops.quant import int8_linear
+
+        lin = int8_linear
+    block = partial(_clip_block, heads=cfg.heads, eps=1e-5, bias=None,
+                    precision=precision, lin=lin)
 
     def scan_fn(carry, layer):
         return block(carry, layer), None
@@ -342,7 +358,8 @@ def clip_encode_image(
     body = jax.tree_util.tree_map(lambda p: p[:-1], params["blocks"])
     last = jax.tree_util.tree_map(lambda p: p[-1], params["blocks"])
     x, _ = jax.lax.scan(scan_fn, x, body)
-    x = _clip_block_cls(x, last, heads=cfg.heads, eps=1e-5, precision=precision)
+    x = _clip_block_cls(x, last, heads=cfg.heads, eps=1e-5, precision=precision,
+                        lin=lin)
 
     x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])
     return jnp.dot(x, params["proj"].astype(x.dtype), precision=precision)

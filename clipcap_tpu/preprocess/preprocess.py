@@ -59,7 +59,8 @@ def preprocess(args: Namespace) -> int:
 
     encoder_config = EncoderConfig.from_args(args)
     encoder_model, sample_processor = get_encoder_from_config(
-        encoder_config, device=args.device
+        encoder_config, device=args.device,
+        int8=getattr(args, "int8_encoder", False),
     )
     # Record the embedding width up front so downstream consumers don't have
     # to re-discover it (train still verifies against the data).

@@ -258,3 +258,48 @@ def test_sdpa_packed_stripe_long_rows(rng):
         want_c = at.sdpa(q, k, v, causal=True, fused=False).reshape(B, N, D)
         np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
                                    atol=3e-5, rtol=3e-5)
+
+
+def test_clip_int8_fidelity(rng, monkeypatch):
+    """w8a8 ViT path (--int8-encoder): quantized forward must track the
+    fp32 forward closely (per-token activation + per-channel weight int8
+    on the block projections only) and wire through CLIPEncoder."""
+    import clipcap_tpu.models.clip_vit as cv
+    from clipcap_tpu.ops.quant import quantize_clip_visual_int8
+
+    monkeypatch.setenv("CLIPCAP_FUSED_ATTN", "0")  # XLA attention on CPU
+    cfg = cv.CLIPVisionConfig(image_size=32, patch_size=16, width=64,
+                              layers=2, heads=4, embed_dim=32)
+    params = cv.init_clip_vision(cfg, seed=0)
+    imgs = (rng.random((8, 32, 32, 3)) * 255).astype(np.uint8)
+
+    want = np.asarray(cv.clip_encode_image(params, cfg, jnp.asarray(imgs),
+                                           dtype=jnp.float32), np.float32)
+    qparams = quantize_clip_visual_int8(params)
+    # quantized leaves: int8 q + fp32 per-(layer, channel) scales
+    assert qparams["blocks"]["attn"]["in_proj"]["w"]["q"].dtype == jnp.int8
+    assert qparams["blocks"]["attn"]["in_proj"]["w"]["s"].shape == (2, 3 * 64)
+    got = np.asarray(cv.clip_encode_image(qparams, cfg, jnp.asarray(imgs),
+                                          dtype=jnp.float32, int8_acts=True),
+                     np.float32)
+    cos = (want * got).sum(-1) / (
+        np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1) + 1e-9)
+    assert cos.min() > 0.995, cos
+
+    # Encoder-surface wiring: CLIPEncoder(int8=True) quantizes once and runs
+    from clipcap_tpu.encoders.clip import CLIPEncoder
+
+    full = {"visual": params}
+    ccfg = cv.CLIPConfig(name="tiny", vision=cfg, text=cv.CLIPTextConfig())
+    enc = CLIPEncoder(full, ccfg, int8=True, dtype=jnp.float32)
+    out = enc(imgs)
+    assert out.shape == (8, 32) and np.isfinite(out).all()
+    cos2 = (want * out).sum(-1) / (
+        np.linalg.norm(want, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-9)
+    assert cos2.min() > 0.995
+
+    # CLAP rejects the flag with a clear error
+    from clipcap_tpu.encoders.base import get_encoder
+
+    with pytest.raises(ValueError, match="CLIP-only"):
+        get_encoder("clap", "HTSAT-tiny", int8=True)
