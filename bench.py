@@ -107,10 +107,13 @@ def _measure_beam(lm_name: str, batch: int, prefix_length: int = 10,
 BASELINE_EMBEDS_PER_SEC = 10_000.0  # BASELINE.json north star, ViT-B/32
 
 
-def _measure_embeds(batch: int | None = None, rounds: int = 4,
-                    trials: int = TRIALS):
-    """ViT-B/32 image embeds/s (the second north star) — driver-tracked here
-    so regressions show in BENCH_r*.json, not only docs.
+def _measure_embeds(variant: str = "ViT-B/32", batch: int | None = None,
+                    rounds: int = 4, trials: int = TRIALS,
+                    int8: bool = False):
+    """ViT image embeds/s — driver-tracked here so regressions show in
+    BENCH_r*.json, not only docs.  Default: ViT-B/32 bf16 (the second
+    north star, >= 10k); ``int8=True`` switches the block projections to
+    the w8a8 path (--int8-encoder).
 
     Measures the PRODUCTION input contract (VERDICT r3 weak #1): the CLIP
     transform emits uint8 HWC images — /255 and channel normalization are
@@ -128,31 +131,41 @@ def _measure_embeds(batch: int | None = None, rounds: int = 4,
         batch = int(os.environ.get("CLIPCAP_BENCH_EMBEDS_BATCH", 512))
     from clipcap_tpu.models.clip_vit import clip_encode_image, get_clip_config, init_clip
 
-    cfg = get_clip_config("ViT-B/32")
+    cfg = get_clip_config(variant)
     params = jax.tree_util.tree_map(
         lambda p: p.astype(jnp.bfloat16), init_clip(cfg, seed=0))
+    vparams = params["visual"]
+    if int8:
+        from clipcap_tpu.ops.quant import quantize_clip_visual_int8
+
+        vparams = jax.device_put(quantize_clip_visual_int8(vparams))
+    size = cfg.vision.image_size
     rng = np.random.default_rng(0)
     batches = [
-        jax.device_put(rng.integers(0, 256, size=(batch, 224, 224, 3),
+        jax.device_put(rng.integers(0, 256, size=(batch, size, size, 3),
                                     dtype=np.uint8))
         for _ in range(rounds)
     ]
 
-    fwd = jax.jit(lambda p, x: clip_encode_image(p["visual"], cfg.vision, x,
-                                                 dtype=jnp.bfloat16))
-    for x in batches[:2]:  # compile, then flush first-dispatch overhead
-        float(jnp.sum(fwd(params, x)[:, :1]))
+    fwd = jax.jit(lambda p, x: clip_encode_image(p, cfg.vision, x,
+                                                 dtype=jnp.bfloat16,
+                                                 int8_acts=int8))
+    # Two passes even when rounds == 1: compile, then flush residual
+    # first-dispatch overhead (same guard as _measure_beam).
+    for x in (batches * 2)[:2]:
+        float(jnp.sum(fwd(vparams, x)[:, :1]))
 
+    tag = f"{variant} int8" if int8 else variant
     per_trial = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for x in batches:
-            r = fwd(params, x)
+            r = fwd(vparams, x)
         float(jnp.sum(r[:, :1]))
         dt = time.perf_counter() - t0
         eps = batch * rounds / dt
         per_trial.append(round(eps, 1))
-        print(f"ViT-B/32 b{batch} trial: {eps:.0f} embeds/s", file=sys.stderr)
+        print(f"{tag} b{batch} trial: {eps:.0f} embeds/s", file=sys.stderr)
     return max(per_trial), per_trial, batch
 
 
@@ -207,6 +220,23 @@ def main() -> None:
         }
     except Exception as e:
         out["embeds"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    if os.environ.get("CLIPCAP_BENCH_SKIP_L14", "0") != "1":
+        # ViT-L/14 is the reference's DEFAULT --encoder-model-variant; the
+        # w8a8 path is its measured-best serving form (+24% vs bf16,
+        # docs/performance.md).
+        try:
+            l14_best, l14_trials, l14_batch = _measure_embeds(
+                "ViT-L/14", batch=64, rounds=2, int8=True)
+            out["embeds_l14_int8"] = {
+                "value": round(l14_best, 1),
+                "unit": "embeds/s",
+                "model": "ViT-L/14 (reference default variant), w8a8",
+                "batch": l14_batch,
+                "trials": l14_trials,
+            }
+        except Exception as e:
+            out["embeds_l14_int8"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     if os.environ.get("CLIPCAP_BENCH_SKIP_XL", "0") != "1":
         # The reference's default LM (gpt2-xl): batch 96 is the largest

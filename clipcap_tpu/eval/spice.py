@@ -395,7 +395,9 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
     # blue" → (walls, painted) + (walls, blue)); with a noun-headed
     # predicate the relation scan handles it instead ("is holding a
     # balloon").
-    suppress: set = set()
+    # Adjective-headed copular predicates become attributes of the subject:
+    # their NP chunk is consumed — emitted neither as an object nor as a
+    # relation target.
     pred_consumed: set = set()
     _REL_PRONOUNS = {"that", "which", "who"}
     for a in range(len(chunks)):
@@ -429,14 +431,13 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
             for m in attr_mods:
                 tuples.add((head, m))
             if attr_head in ADJECTIVES or _looks_like_adjective(attr_head):
-                suppress.add(g)
-                pred_consumed.add(g)  # an attribute, not a relation target
+                pred_consumed.add(g)
         for v in participles:
             tuples.add((head, v))
 
     # Emit object/attribute tuples.
     np_list = [(idx, c[1]) for idx, c in enumerate(chunks)
-               if c[0] == "np" and idx not in suppress]
+               if c[0] == "np" and idx not in pred_consumed]
     for _, (head, mods) in np_list:
         tuples.add((head,))
         for m in mods:
@@ -465,20 +466,30 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
         # find next NP
         links: List[str] = []
         saw_copula = False
+        rel_clause = False  # a relative pronoun OPENED this predicate chain
         for b in range(a + 1, len(chunks)):
             kind, val = chunks[b]
             if kind in ("link", "conj", "brk"):
                 if kind == "link":
                     if val in COPULAS:
                         saw_copula = True
-                    elif val not in _REL_PRONOUNS:  # never relation labels
+                    elif val in _REL_PRONOUNS:  # never relation labels
+                        # Leading "that/which/who" binds the predicate to
+                        # THIS noun ("a dog THAT is on a leash" → dog on
+                        # leash, not its owner); after a verb it is just a
+                        # determiner ("chasing THAT ball") and the normal
+                        # subject lifting applies.
+                        if not links and not saw_copula:
+                            rel_clause = True
+                    else:
                         links.append(val)  # type: ignore[arg-type]
                 if kind in ("conj", "brk"):
                     # VP coordination / gerund continuation: "smiling and
                     # holding a balloon", "sitting while eating" — a verb
                     # right after the boundary keeps the same subject with
-                    # a FRESH relation chain; anything else starts a new
-                    # clause.
+                    # a FRESH relation chain (a relative-clause subject
+                    # stays the subject: "that is sitting and wearing a
+                    # hat"); anything else starts a new clause.
                     nxt = chunks[b + 1] if b + 1 < len(chunks) else None
                     if (nxt is not None and nxt[0] == "link"
                             and _is_verb(nxt[1], None)):
@@ -502,10 +513,15 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
                     rel = links[-1]
                 if rel:
                     subj_idx = group_of[a][0]
-                    if verb_ks or saw_copula:
+                    if (verb_ks or saw_copula) and not rel_clause:
                         # Verbs — and copular predicates ("a man in a red
                         # hat IS ON a motorcycle") — act for the clause
-                        # subject: lift through non-of chains.
+                        # subject: lift through non-of chains.  A leading
+                        # relative pronoun makes THIS noun the clause
+                        # subject instead ("a woman with a dog THAT IS ON
+                        # a leash" → (dog, on, leash)); of-chain container
+                        # lifting below still applies ("a bowl of soup
+                        # that is on the counter" → bowl on counter).
                         seen_l: set = set()
                         while (subj_idx in rel_into and subj_idx not in seen_l
                                and rel_into[subj_idx][1] != "of"):

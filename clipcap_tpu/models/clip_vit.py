@@ -207,7 +207,7 @@ def _packed_attn_enabled() -> bool:
     forces either way — 1 is how CPU tests exercise the kernel path."""
     env = os.environ.get("CLIPCAP_FUSED_ATTN")
     if env is not None:
-        return env.lower() not in ("0", "false", "")
+        return env.lower() not in ("0", "false", "no", "off", "")
     return jax.default_backend() == "tpu"
 
 

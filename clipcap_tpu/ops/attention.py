@@ -153,7 +153,8 @@ def _packed_kernel(qkv_ref, o_ref, *, heads, scale, causal, n_valid):
     o_ref[:] = jnp.concatenate(outs, axis=-1)
 
 
-def _packed_group(B: int, N: int, D: int, heads: int) -> Optional[int]:
+def _packed_group(B: int, N: int, D: int, heads: int,
+                  itemsize: int = 2) -> Optional[int]:
     """Largest sample-group size that divides B and fits the VMEM budget.
 
     Sizing is TILE-PADDED (sublane 8/16, lane 128) and assumes the worst
@@ -170,11 +171,13 @@ def _packed_group(B: int, N: int, D: int, heads: int) -> Optional[int]:
     for g in (16, 8, 4, 2, 1):
         if B % g:
             continue
-        qkv_in = 2 * g * rup(N, 16) * rup(3 * D, 128) * 2   # double-buffered
-        out = 2 * g * rup(N, 16) * rup(D, 128) * 2
-        per_head = (2 * rup(N, 8) * rup(N, 128) * 4          # logits + exp
-                    + rup(N, 16) * rup(N, 128) * 2           # weights (bf16)
-                    + rup(N, 16) * rup(Dh, 128) * 2)         # head context
+        # itemsize: the input dtype's (2 for bf16; 4 under fp32 parity runs,
+        # where every input-typed buffer doubles — review r4 finding).
+        qkv_in = 2 * g * rup(N, 16) * rup(3 * D, 128) * itemsize  # dbl-buffered
+        out = 2 * g * rup(N, 16) * rup(D, 128) * itemsize
+        per_head = (2 * rup(N, 8) * rup(N, 128) * 4          # logits + exp (fp32)
+                    + rup(N, 16) * rup(N, 128) * itemsize    # weights
+                    + rup(N, 16) * rup(Dh, 128) * itemsize)  # head context
         if qkv_in + out + heads * g * per_head <= 12 * 1024 * 1024:
             return g
     return None
@@ -219,7 +222,7 @@ def _packed_stripe_kernel(q_ref, k_ref, v_ref, o_ref, *, sub, scale, causal,
     o_ref[:] = outs[0] if sub == 1 else jnp.concatenate(outs, axis=-1)
 
 
-def _stripe_group(B: int, N: int, sub: int) -> Optional[int]:
+def _stripe_group(B: int, N: int, sub: int, itemsize: int = 2) -> Optional[int]:
     """Sample-group size for the stripe kernel (same padding/liveness
     discipline as _packed_group, but per 128-lane stripe)."""
 
@@ -229,10 +232,10 @@ def _stripe_group(B: int, N: int, sub: int) -> Optional[int]:
     for g in (8, 4, 2, 1):
         if B % g:
             continue
-        bufs = 2 * 4 * g * rup(N, 16) * 128 * 2     # q/k/v/out double-buffered
+        bufs = 2 * 4 * g * rup(N, 16) * 128 * itemsize  # q/k/v/out dbl-buffered
         per_sub = (2 * rup(N, 8) * rup(N, 128) * 4
-                   + rup(N, 16) * rup(N, 128) * 2
-                   + rup(N, 16) * 128 * 2)
+                   + rup(N, 16) * rup(N, 128) * itemsize
+                   + rup(N, 16) * 128 * itemsize)
         if bufs + sub * g * per_sub <= 12 * 1024 * 1024:
             return g
     return None
@@ -278,7 +281,7 @@ def sdpa_packed(
     if form != "row" and D % 128 == 0 and 128 % Dh == 0:
         sub = 128 // Dh                       # heads per stripe (1 or 2)
         stripes = D // 128
-        Gs = _stripe_group(B, N, sub)
+        Gs = _stripe_group(B, N, sub, qkv.dtype.itemsize)
         if Gs is not None:
             dq = pl.BlockSpec((Gs, N, 128), lambda b, j: (b, 0, j),
                               memory_space=pltpu.VMEM)
@@ -301,7 +304,7 @@ def sdpa_packed(
             )(qkv, qkv, qkv)
 
     if form != "stripe":
-        G = _packed_group(B, N, D, heads)
+        G = _packed_group(B, N, D, heads, qkv.dtype.itemsize)
         if G is not None:
             spec_in = pl.BlockSpec((G, N, threeD), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)

@@ -74,27 +74,32 @@ def _pick_u_tile(U: int, cap: int | None = None) -> int:
     (default ``_U_TILE``); falls back to ``U`` itself (single tile) for
     unaligned tiny buffers.
 
-    Buffers that already fit one 128-slot tile never split: the dynamic
-    grid can save at most fractional tiles there while every split pays
-    per-tile overhead.  Measured on the K=1 sampling shape (U=80, batch
-    512, v5e): single 80-slot tile 266 captions/s vs 252 under the 64 cap
-    (whose only aligned divisor of 80 is 16 — five tiny tiles)."""
-    cap = _U_TILE if cap is None else cap
-    if U <= 128:
-        return U
+    Under the DEFAULT cap, buffers that already fit one 128-slot tile never
+    split: the dynamic grid can save at most fractional tiles there while
+    every split pays per-tile overhead.  Measured on the K=1 sampling shape
+    (U=80, batch 512, v5e): single 80-slot tile 266 captions/s vs 252 under
+    the 64 cap (whose only aligned divisor of 80 is 16 — five tiny tiles).
+    An EXPLICIT ``cap`` is always honored — the two-phase consolidation
+    kernel caps its shared/live regions deliberately (its per-step dynamic
+    bounds depend on the split), so the single-tile rule must not override
+    it."""
+    default = cap is None
+    if default:
+        cap = _U_TILE
+        if U <= 128:
+            return U
     best = 0
     for t in range(_SUBLANE, min(cap, U) + 1, _SUBLANE):
         if U % t == 0:
             best = t
-    if best >= max(_SUBLANE, cap // 2):
-        return best
-    # No divisor near the cap (e.g. the 400-slot replicated beam layout
-    # under the 64 cap would land on 16-slot tiles): take the smallest
-    # aligned divisor ABOVE the cap instead — a slightly fat well-shaped
-    # tile beats a shower of tiny ones.
-    for t in range(cap + _SUBLANE, U + 1, _SUBLANE):
-        if U % t == 0:
-            return t
+    if default and best < max(_SUBLANE, cap // 2):
+        # No divisor near the cap (e.g. the 400-slot replicated beam layout
+        # under the 64 cap would land on 16-slot tiles): take the smallest
+        # aligned divisor ABOVE the cap instead — a slightly fat well-shaped
+        # tile beats a shower of tiny ones.
+        for t in range(cap + _SUBLANE, U + 1, _SUBLANE):
+            if U % t == 0:
+                return t
     return best if best else U
 
 

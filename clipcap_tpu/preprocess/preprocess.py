@@ -58,10 +58,14 @@ def preprocess(args: Namespace) -> int:
         input_dataset = args.input_dataset
 
     encoder_config = EncoderConfig.from_args(args)
-    encoder_model, sample_processor = get_encoder_from_config(
-        encoder_config, device=args.device,
-        int8=getattr(args, "int8_encoder", False),
-    )
+    try:
+        encoder_model, sample_processor = get_encoder_from_config(
+            encoder_config, device=args.device,
+            int8=getattr(args, "int8_encoder", False),
+        )
+    except ValueError as e:  # e.g. --int8-encoder with a non-CLIP encoder
+        print(f"preprocess: {e}")
+        return 1
     # Record the embedding width up front so downstream consumers don't have
     # to re-discover it (train still verifies against the data).
     if getattr(encoder_model, "embedding_size", None):

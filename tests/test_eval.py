@@ -542,6 +542,40 @@ def test_spice_extraction_canonical_captions():
     assert ("dog", "brown") in t
 
 
+def test_spice_relative_clause_subject_binding():
+    """A LEADING relative pronoun binds the predicate to the nearest noun —
+    subject lifting through PP chains must not fire (round-4 review
+    finding: 'a woman with a dog that is on a leash' wrongly lifted to
+    (woman, on, leash)).  After a verb, 'that' is a determiner and normal
+    lifting applies; of-chain container lifting is unaffected."""
+    from clipcap_tpu.eval.spice import extract_tuples
+
+    t = extract_tuples("a woman with a dog that is on a leash".split())
+    assert ("dog", "on", "leash") in t and ("woman", "on", "leash") not in t
+    assert ("woman", "with", "dog") in t
+
+    t = extract_tuples("a woman with a dog that is chasing a ball".split())
+    assert ("dog", "chasing", "ball") in t
+    assert ("woman", "chasing", "ball") not in t
+
+    # relative-clause subject survives VP coordination
+    t = extract_tuples("a dog that is sitting and wearing a hat".split())
+    assert ("dog", "sitting") in t and ("dog", "wearing", "hat") in t
+
+    # copular predicate WITHOUT a rel pronoun still lifts to the clause
+    # subject through non-of chains
+    t = extract_tuples("a man in a red hat is on a motorcycle".split())
+    assert ("man", "on", "motorcycle") in t
+
+    # container lifting through of-chains still applies under a rel clause
+    t = extract_tuples("a bowl of soup that is on the counter".split())
+    assert ("bowl", "on", "counter") in t
+
+    # post-verb 'that' is a determiner, not a clause opener
+    t = extract_tuples("a boy chasing that ball".split())
+    assert ("boy", "chasing", "ball") in t
+
+
 def test_spice_score_sanity():
     from clipcap_tpu.eval.spice import Spice
 
