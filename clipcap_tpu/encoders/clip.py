@@ -215,8 +215,12 @@ class CLIPEncoder:
         if img.ndim == 4:  # windowed [W+1, H, W, 3] → global view
             img = img[0]
         tokens = jnp.asarray(tokenize(captions))
+        # int8 encoders rerank through the same w8a8 visual path they embed
+        # with — self.params already holds the quantized tree, so the flag
+        # must travel with it (ADVICE r4: no silent w8/a-bf16 variant).
         logits_per_image, _ = clip_similarity(
-            self.params, self.config, img[None], tokens, dtype=jnp.float32
+            self.params, self.config, img[None], tokens, dtype=jnp.float32,
+            int8_acts=self.int8,
         )
         return np.asarray(jax.device_get(logits_per_image))[0]
 

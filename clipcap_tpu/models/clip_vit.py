@@ -403,10 +403,17 @@ def clip_similarity(
     *,
     dtype=jnp.float32,
     precision=None,
+    int8_acts: bool = False,
 ) -> Tuple[Array, Array]:
     """Scaled cosine-similarity logits ``(logits_per_image, logits_per_text)``
-    — the rerank signal used by the inference demo (demo.py:47-66)."""
-    img = clip_encode_image(params["visual"], cfg.vision, images, dtype=dtype, precision=precision)
+    — the rerank signal used by the inference demo (demo.py:47-66).
+
+    ``int8_acts`` must match how ``params["visual"]`` was prepared: a tree
+    quantized by ``quantize_clip_visual_int8`` runs the full w8a8 path here
+    too, so rerank sees the same numeric variant as embedding extraction
+    (not a silent third weight-only-dequant variant)."""
+    img = clip_encode_image(params["visual"], cfg.vision, images, dtype=dtype,
+                            precision=precision, int8_acts=int8_acts)
     txt = clip_encode_text(params["text"], cfg.text, tokens, dtype=dtype, precision=precision)
     img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
     txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)

@@ -66,6 +66,9 @@ Array = jax.Array
 # 64 (e.g. the 400-slot replicated layout) pick the closest (80) either
 # way.
 _U_TILE = int(_os.environ.get("CLIPCAP_FLASH_U_TILE", 64))
+# A tuning override must stay sweepable on every shape: the <=128-slot
+# single-tile shortcut below only applies when the env knob is unset.
+_U_TILE_OVERRIDDEN = "CLIPCAP_FLASH_U_TILE" in _os.environ
 _SUBLANE = 16  # sublane tile of the (slots, lanes) trailing dims
 
 
@@ -86,7 +89,7 @@ def _pick_u_tile(U: int, cap: int | None = None) -> int:
     default = cap is None
     if default:
         cap = _U_TILE
-        if U <= 128:
+        if U <= 128 and not _U_TILE_OVERRIDDEN:
             return U
     best = 0
     for t in range(_SUBLANE, min(cap, U) + 1, _SUBLANE):
@@ -97,7 +100,11 @@ def _pick_u_tile(U: int, cap: int | None = None) -> int:
         # under the 64 cap would land on 16-slot tiles): take the smallest
         # aligned divisor ABOVE the cap instead — a slightly fat well-shaped
         # tile beats a shower of tiny ones.
-        for t in range(cap + _SUBLANE, U + 1, _SUBLANE):
+        # First sublane multiple strictly above the cap — the cap itself may
+        # be unaligned (an env override like 40), and every candidate must
+        # honor the aligned-divisor contract.
+        start = (cap // _SUBLANE + 1) * _SUBLANE
+        for t in range(start, U + 1, _SUBLANE):
             if U % t == 0:
                 return t
     return best if best else U

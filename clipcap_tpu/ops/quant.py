@@ -46,7 +46,9 @@ def quantize_rows(x: jax.Array):
     the fly — this is the activation side of a w8a8 matmul."""
     absmax = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1, keepdims=True)
     s = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.round(x.astype(jnp.float32) / s).astype(jnp.int8)
+    # Clip like quantize_linear: today the fp32 quotient never reaches
+    # 127.5, but int8 overflow wraps silently, so don't rely on it.
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
     return q, s
 
 
@@ -83,45 +85,29 @@ def quantize_clip_visual_int8(params: Params) -> Params:
     Patch embed, class/positional embeddings, layer norms, and the final
     projection stay in float — they are a small fraction of the FLOPs and
     the fold of pixel normalization into patch_embed must stay exact."""
-    blocks = params["blocks"]
-    new_blocks = {
-        "ln_1": blocks["ln_1"],
-        "attn": {
-            "in_proj": {"w": quantize_linear(blocks["attn"]["in_proj"]["w"]),
-                        "b": blocks["attn"]["in_proj"]["b"]},
-            "out_proj": {"w": quantize_linear(blocks["attn"]["out_proj"]["w"]),
-                         "b": blocks["attn"]["out_proj"]["b"]},
-        },
-        "ln_2": blocks["ln_2"],
-        "mlp": {
-            "c_fc": {"w": quantize_linear(blocks["mlp"]["c_fc"]["w"]),
-                     "b": blocks["mlp"]["c_fc"]["b"]},
-            "c_proj": {"w": quantize_linear(blocks["mlp"]["c_proj"]["w"]),
-                       "b": blocks["mlp"]["c_proj"]["b"]},
-        },
-    }
-    return {**params, "blocks": new_blocks}
+    return {**params, "blocks": _quantize_projections(params["blocks"])}
 
 
 def quantize_gpt2_int8(params: Params) -> Params:
     """Return a copy of a GPT-2 param tree with the transformer matmul
     weights (attn c_attn/c_proj, mlp c_fc/c_proj) in int8 {"q","s"} form.
     Everything else (wte/wpe, layer norms, biases) is untouched."""
-    h = params["h"]
-    new_h = {
-        "ln_1": h["ln_1"],
-        "ln_2": h["ln_2"],
-        "attn": {
-            "c_attn": {"w": quantize_linear(h["attn"]["c_attn"]["w"]),
-                       "b": h["attn"]["c_attn"]["b"]},
-            "c_proj": {"w": quantize_linear(h["attn"]["c_proj"]["w"]),
-                       "b": h["attn"]["c_proj"]["b"]},
-        },
-        "mlp": {
-            "c_fc": {"w": quantize_linear(h["mlp"]["c_fc"]["w"]),
-                     "b": h["mlp"]["c_fc"]["b"]},
-            "c_proj": {"w": quantize_linear(h["mlp"]["c_proj"]["w"]),
-                       "b": h["mlp"]["c_proj"]["b"]},
-        },
-    }
-    return {**params, "h": new_h}
+    return {**params, "h": _quantize_projections(params["h"])}
+
+
+def _quantize_projections(blocks: Params) -> Params:
+    """Copy a stacked block dict with every two-level ``{submodule: {name:
+    {"w", "b"}}}`` matmul weight quantized, all other keys (layer norms,
+    future additions) passed through untouched — rebuilding from a
+    hardcoded key list would silently drop new keys and surface as a
+    tree-structure mismatch deep inside ``lax.scan``."""
+    out: Params = {}
+    for key, sub in blocks.items():
+        if isinstance(sub, dict) and all(
+            isinstance(v, dict) and set(v) == {"w", "b"} for v in sub.values()
+        ):
+            out[key] = {name: {"w": quantize_linear(leaf["w"]), "b": leaf["b"]}
+                        for name, leaf in sub.items()}
+        else:
+            out[key] = sub
+    return out

@@ -303,3 +303,113 @@ def test_clip_int8_fidelity(rng, monkeypatch):
 
     with pytest.raises(ValueError, match="CLIP-only"):
         get_encoder("clap", "HTSAT-tiny", int8=True)
+
+
+def test_int8_rerank_uses_w8a8_path(rng, monkeypatch):
+    """ADVICE r4: CLIPEncoder(int8=True).similarity must run the visual
+    tower through the same w8a8 path as embedding extraction — the
+    quantized tree with int8_acts threaded — not a silent weight-only
+    dequant variant.  Pin: similarity on the int8 encoder equals
+    clip_similarity(int8_acts=True) on the quantized tree exactly, and
+    tracks the fp32 rerank closely."""
+    import clipcap_tpu.models.clip_vit as cv
+    from clipcap_tpu.encoders.clip import CLIPEncoder
+    from clipcap_tpu.ops.quant import quantize_clip_visual_int8
+    from clipcap_tpu.utils.clip_tokenizer import tokenize
+
+    monkeypatch.setenv("CLIPCAP_FUSED_ATTN", "0")
+    vcfg = cv.CLIPVisionConfig(image_size=32, patch_size=16, width=64,
+                               layers=2, heads=4, embed_dim=32)
+    tcfg = cv.CLIPTextConfig(vocab_size=49408, context_length=77, width=64,
+                             layers=2, heads=4, embed_dim=32)
+    params = {"visual": cv.init_clip_vision(vcfg, seed=0),
+              "text": cv.init_clip_text(tcfg, seed=1),
+              "logit_scale": jnp.asarray(2.0, jnp.float32)}
+    ccfg = cv.CLIPConfig(name="tiny", vision=vcfg, text=tcfg)
+    img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    captions = ["a dog on a bench", "a red car"]
+
+    enc = CLIPEncoder(params, ccfg, int8=True, dtype=jnp.float32)
+    got = enc.similarity(img, captions)
+
+    qtree = {**params, "visual": quantize_clip_visual_int8(params["visual"])}
+    want_q, _ = cv.clip_similarity(qtree, ccfg, jnp.asarray(img)[None],
+                                   jnp.asarray(tokenize(captions)),
+                                   dtype=jnp.float32, int8_acts=True)
+    np.testing.assert_array_equal(got, np.asarray(want_q)[0])
+
+    enc_fp = CLIPEncoder(params, ccfg, int8=False, dtype=jnp.float32)
+    want_fp = enc_fp.similarity(img, captions)
+    assert got.shape == want_fp.shape == (2,)
+    # same ranking, close logits
+    assert np.argsort(got).tolist() == np.argsort(want_fp).tolist()
+    np.testing.assert_allclose(got, want_fp, rtol=0.05, atol=0.25)
+
+
+def test_quantize_projections_passes_unknown_keys_through():
+    """ADVICE r4: quantize_clip_visual_int8/quantize_gpt2_int8 must copy
+    unrecognized block keys untouched instead of dropping them (a dropped
+    key surfaces as a tree mismatch deep inside lax.scan)."""
+    import clipcap_tpu.models.clip_vit as cv
+    from clipcap_tpu.ops.quant import quantize_clip_visual_int8
+
+    cfg = cv.CLIPVisionConfig(image_size=32, patch_size=16, width=64,
+                              layers=2, heads=4, embed_dim=32)
+    params = cv.init_clip_vision(cfg, seed=0)
+    marker = jnp.ones((2, 3))
+    params["blocks"]["future_knob"] = marker
+
+    q = quantize_clip_visual_int8(params)
+    assert "future_knob" in q["blocks"]
+    np.testing.assert_array_equal(np.asarray(q["blocks"]["future_knob"]),
+                                  np.asarray(marker))
+    # the projections are still quantized
+    assert q["blocks"]["attn"]["in_proj"]["w"]["q"].dtype == jnp.int8
+    # layer norms untouched
+    np.testing.assert_array_equal(
+        np.asarray(q["blocks"]["ln_1"]["scale"]),
+        np.asarray(params["blocks"]["ln_1"]["scale"]))
+
+
+def test_quantize_rows_clips_to_int8_range(rng):
+    """ADVICE r4: the activation quantizer clips before the int8 cast, so a
+    future scale change can never wrap silently."""
+    from clipcap_tpu.ops.quant import quantize_rows
+
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32)) * 100.0
+    q, s = quantize_rows(x)
+    qn = np.asarray(q)
+    assert qn.min() >= -127 and qn.max() <= 127
+    np.testing.assert_allclose(np.asarray(q).astype(np.float32) * np.asarray(s),
+                               np.asarray(x), rtol=0.02, atol=1.0)
+
+
+def test_pick_u_tile_override_semantics(monkeypatch):
+    """ADVICE r4: CLIPCAP_FLASH_U_TILE must stay sweepable on <=128-slot
+    buffers, and an unaligned override still yields sublane-aligned tiles."""
+    import importlib
+
+    import clipcap_tpu.ops.flash_decode as fd
+
+    # default: single-tile shortcut for small buffers
+    monkeypatch.delenv("CLIPCAP_FLASH_U_TILE", raising=False)
+    importlib.reload(fd)
+    assert fd._pick_u_tile(80) == 80
+
+    # override 16: honored even on an 80-slot buffer
+    monkeypatch.setenv("CLIPCAP_FLASH_U_TILE", "16")
+    importlib.reload(fd)
+    assert fd._pick_u_tile(80) == 16
+
+    # unaligned override 40 on a 400-slot buffer: the above-cap fallback
+    # must return a sublane-aligned divisor (80), never 50/40
+    monkeypatch.setenv("CLIPCAP_FLASH_U_TILE", "40")
+    importlib.reload(fd)
+    t = fd._pick_u_tile(400)
+    assert t % fd._SUBLANE == 0 and 400 % t == 0, t
+
+    # explicit cap is always honored (two-phase consolidation contract)
+    assert fd._pick_u_tile(80, cap=16) == 16
+
+    monkeypatch.delenv("CLIPCAP_FLASH_U_TILE", raising=False)
+    importlib.reload(fd)
