@@ -161,7 +161,13 @@ class CLIPEncoder:
             # each projection.  Embedding fidelity is measured, not free —
             # see tests/test_pallas.py::test_clip_int8_fidelity and the
             # pretrained-weights gate in tests/test_pretrained.py.
+            from clipcap_tpu.models.clip_vit import is_resnet_config
             from clipcap_tpu.ops.quant import quantize_clip_visual_int8
+
+            if is_resnet_config(config.vision):
+                raise ValueError(
+                    "int8 serving is CLIP-ViT-only (RN towers are conv-"
+                    "bound; the w8a8 projection path does not apply)")
 
             self.params = {**params,
                            "visual": quantize_clip_visual_int8(params["visual"])}

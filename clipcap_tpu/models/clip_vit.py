@@ -75,7 +75,9 @@ class CLIPTextConfig:
 @dataclasses.dataclass(frozen=True)
 class CLIPConfig:
     name: str
-    vision: CLIPVisionConfig
+    # ViT variants carry a CLIPVisionConfig; RN50-family variants carry a
+    # clip_resnet.CLIPResNetConfig (both expose image_size/embed_dim).
+    vision: Any
     text: CLIPTextConfig
 
 
@@ -113,11 +115,62 @@ CLIP_PRESETS: Dict[str, CLIPConfig] = {
 }
 
 
+def _preset_rn(name, *, image_size, width, layers, embed, twidth, tlayers,
+               theads) -> CLIPConfig:
+    from clipcap_tpu.models.clip_resnet import CLIPResNetConfig
+
+    return CLIPConfig(
+        name=name,
+        vision=CLIPResNetConfig(image_size=image_size, width=width,
+                                layers=layers, heads=width * 32 // 64,
+                                embed_dim=embed),
+        text=CLIPTextConfig(width=twidth, layers=tlayers, heads=theads,
+                            embed_dim=embed),
+    )
+
+
+def _rn_presets() -> Dict[str, CLIPConfig]:
+    # The ModifiedResNet family `clip.load` also exposes (reference
+    # clip.py:134-136 serves any `clip.available_models()` name).
+    return {
+        "RN50": _preset_rn("RN50", image_size=224, width=64,
+                           layers=(3, 4, 6, 3), embed=1024, twidth=512,
+                           tlayers=12, theads=8),
+        "RN101": _preset_rn("RN101", image_size=224, width=64,
+                            layers=(3, 4, 23, 3), embed=512, twidth=512,
+                            tlayers=12, theads=8),
+        "RN50x4": _preset_rn("RN50x4", image_size=288, width=80,
+                             layers=(4, 6, 10, 6), embed=640, twidth=640,
+                             tlayers=12, theads=10),
+        "RN50x16": _preset_rn("RN50x16", image_size=384, width=96,
+                              layers=(6, 8, 18, 8), embed=768, twidth=768,
+                              tlayers=12, theads=12),
+        "RN50x64": _preset_rn("RN50x64", image_size=448, width=128,
+                              layers=(3, 15, 36, 10), embed=1024,
+                              twidth=1024, tlayers=12, theads=16),
+        # Test-scale RN preset for CPU integration tests.
+        "test-tiny-rn": _preset_rn("test-tiny-rn", image_size=64, width=8,
+                                   layers=(1, 1, 1, 1), embed=32, twidth=64,
+                                   tlayers=2, theads=4),
+    }
+
+
+def is_resnet_config(vision_cfg) -> bool:
+    from clipcap_tpu.models.clip_resnet import CLIPResNetConfig
+
+    return isinstance(vision_cfg, CLIPResNetConfig)
+
+
 def get_clip_config(variant: str) -> CLIPConfig:
     variant = variant.replace("_", "/")  # reference un-mangling (base.py:29-30)
     if variant in CLIP_PRESETS:
         return CLIP_PRESETS[variant]
-    raise ValueError(f"unknown CLIP variant '{variant}'. Known: {sorted(CLIP_PRESETS)}")
+    rn = _rn_presets()
+    if variant in rn:
+        return rn[variant]
+    raise ValueError(
+        f"unknown CLIP variant '{variant}'. "
+        f"Known: {sorted(CLIP_PRESETS) + sorted(rn)}")
 
 
 # ---------------------------------------------------------------------------
@@ -185,8 +238,14 @@ def init_clip_text(cfg: CLIPTextConfig, seed: int = 1) -> Params:
 
 
 def init_clip(cfg: CLIPConfig, seed: int = 0) -> Params:
+    if is_resnet_config(cfg.vision):
+        from clipcap_tpu.models.clip_resnet import init_clip_resnet
+
+        visual = init_clip_resnet(cfg.vision, seed)
+    else:
+        visual = init_clip_vision(cfg.vision, seed)
     return {
-        "visual": init_clip_vision(cfg.vision, seed),
+        "visual": visual,
         "text": init_clip_text(cfg.text, seed + 1),
         "logit_scale": jnp.asarray(np.log(1.0 / 0.07), jnp.float32),
     }
@@ -307,7 +366,20 @@ def clip_encode_image(
     (``ops.quant.int8_linear``); ``params["blocks"]`` must then hold the
     ``{"q","s"}`` weights from ``ops.quant.quantize_clip_visual_int8``.
     Attention math, layer norms, patch embed, and the final projection
-    stay in the compute dtype."""
+    stay in the compute dtype.
+
+    RN50-family configs dispatch to the ModifiedResNet forward
+    (``models/clip_resnet.py``); int8 serving is ViT-only."""
+    if is_resnet_config(cfg):
+        from clipcap_tpu.models.clip_resnet import clip_encode_image_resnet
+
+        if int8_acts:
+            raise ValueError("int8 serving is CLIP-ViT-only (RN towers are "
+                             "conv-bound; the w8a8 projection path does not "
+                             "apply)")
+        return clip_encode_image_resnet(params, cfg, images, dtype=dtype,
+                                        precision=precision,
+                                        normalize_pixels=normalize_pixels)
     x = images.astype(dtype)
 
     # Fold pixel normalization (and the uint8 /255) INTO the patch-embed
@@ -435,15 +507,65 @@ def _to_np(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def clip_params_from_openai(state_dict, cfg: CLIPConfig) -> Params:
-    """Convert an OpenAI CLIP state dict (the format ``clip.load`` uses,
-    reference clip.py:134) to our pytree."""
-    sd = {k: _to_np(v) for k, v in state_dict.items()}
-    vis, txt = cfg.vision, cfg.text
+def _text_params_from_openai(sd, txt: CLIPTextConfig) -> Params:
+    """The text-tower half of an OpenAI state dict (shared by ViT and RN
+    checkpoints — both carry the same causal transformer)."""
 
     def stack(fmt, transpose=False):
         arrs = []
-        for i in range(vis.layers if "visual" in fmt else txt.layers):
+        for i in range(txt.layers):
+            a = sd[fmt.format(i)]
+            arrs.append(a.T if transpose else a)
+        return jnp.asarray(np.stack(arrs).astype(np.float32))
+
+    prefix = "transformer.resblocks"
+    blocks = {
+        "ln_1": {"scale": stack(prefix + ".{}.ln_1.weight"),
+                 "bias": stack(prefix + ".{}.ln_1.bias")},
+        "attn": {
+            "in_proj": {"w": stack(prefix + ".{}.attn.in_proj_weight", transpose=True),
+                        "b": stack(prefix + ".{}.attn.in_proj_bias")},
+            "out_proj": {"w": stack(prefix + ".{}.attn.out_proj.weight", transpose=True),
+                         "b": stack(prefix + ".{}.attn.out_proj.bias")},
+        },
+        "ln_2": {"scale": stack(prefix + ".{}.ln_2.weight"),
+                 "bias": stack(prefix + ".{}.ln_2.bias")},
+        "mlp": {
+            "c_fc": {"w": stack(prefix + ".{}.mlp.c_fc.weight", transpose=True),
+                     "b": stack(prefix + ".{}.mlp.c_fc.bias")},
+            "c_proj": {"w": stack(prefix + ".{}.mlp.c_proj.weight", transpose=True),
+                       "b": stack(prefix + ".{}.mlp.c_proj.bias")},
+        },
+    }
+    return {
+        "token_embedding": jnp.asarray(sd["token_embedding.weight"].astype(np.float32)),
+        "positional_embedding": jnp.asarray(sd["positional_embedding"].astype(np.float32)),
+        "blocks": blocks,
+        "ln_final": {"scale": jnp.asarray(sd["ln_final.weight"].astype(np.float32)),
+                     "bias": jnp.asarray(sd["ln_final.bias"].astype(np.float32))},
+        "text_projection": jnp.asarray(sd["text_projection"].astype(np.float32)),
+    }
+
+
+def clip_params_from_openai(state_dict, cfg: CLIPConfig) -> Params:
+    """Convert an OpenAI CLIP state dict (the format ``clip.load`` uses,
+    reference clip.py:134) to our pytree.  Handles both ViT
+    (``visual.class_embedding``) and RN (``visual.attnpool.*``) layouts."""
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+    vis, txt = cfg.vision, cfg.text
+
+    if is_resnet_config(vis):
+        from clipcap_tpu.models.clip_resnet import resnet_params_from_openai
+
+        return {
+            "visual": resnet_params_from_openai(sd, vis),
+            "text": _text_params_from_openai(sd, txt),
+            "logit_scale": jnp.asarray(float(sd["logit_scale"]), jnp.float32),
+        }
+
+    def stack(fmt, transpose=False):
+        arrs = []
+        for i in range(vis.layers):
             a = sd[fmt.format(i)]
             arrs.append(a.T if transpose else a)
         return jnp.asarray(np.stack(arrs).astype(np.float32))
@@ -486,14 +608,7 @@ def clip_params_from_openai(state_dict, cfg: CLIPConfig) -> Params:
                         "bias": jnp.asarray(sd["visual.ln_post.bias"].astype(np.float32))},
             "proj": jnp.asarray(sd["visual.proj"].astype(np.float32)),
         },
-        "text": {
-            "token_embedding": jnp.asarray(sd["token_embedding.weight"].astype(np.float32)),
-            "positional_embedding": jnp.asarray(sd["positional_embedding"].astype(np.float32)),
-            "blocks": blocks("transformer.resblocks", txt.layers),
-            "ln_final": {"scale": jnp.asarray(sd["ln_final.weight"].astype(np.float32)),
-                         "bias": jnp.asarray(sd["ln_final.bias"].astype(np.float32))},
-            "text_projection": jnp.asarray(sd["text_projection"].astype(np.float32)),
-        },
+        "text": _text_params_from_openai(sd, txt),
         "logit_scale": jnp.asarray(float(sd["logit_scale"]), jnp.float32),
     }
     return params
@@ -501,8 +616,26 @@ def clip_params_from_openai(state_dict, cfg: CLIPConfig) -> Params:
 
 def clip_config_from_openai(state_dict) -> CLIPConfig:
     """Infer the variant config from an OpenAI state dict's shapes (the same
-    trick clip.load's build_model uses)."""
+    trick clip.load's build_model uses).  RN checkpoints are recognized by
+    their attention-pool keys."""
     sd = state_dict
+    if "visual.attnpool.positional_embedding" in sd:
+        from clipcap_tpu.models.clip_resnet import resnet_config_from_openai
+
+        rn = resnet_config_from_openai(sd)
+        embed = rn.embed_dim
+        twidth = _to_np(sd["ln_final.weight"]).shape[0]
+        tlayers = len({k.split(".")[2] for k in sd
+                       if k.startswith("transformer.resblocks.")})
+        vocab = _to_np(sd["token_embedding.weight"]).shape[0]
+        ctx = _to_np(sd["positional_embedding"]).shape[0]
+        return CLIPConfig(
+            name=f"RN-{rn.width}x{rn.layers}",
+            vision=rn,
+            text=CLIPTextConfig(vocab_size=vocab, context_length=ctx,
+                                width=twidth, layers=tlayers,
+                                heads=twidth // 64, embed_dim=embed),
+        )
     vwidth = _to_np(sd["visual.conv1.weight"]).shape[0]
     patch = _to_np(sd["visual.conv1.weight"]).shape[-1]
     grid = int(round((_to_np(sd["visual.positional_embedding"]).shape[0] - 1) ** 0.5))
@@ -531,7 +664,7 @@ def load_clip(variant: str, checkpoint_path: Optional[str] = None):
     ``.pt`` (jit archive or plain state dict).
     """
     cfg = get_clip_config(variant)
-    if cfg.name == "test-tiny":  # test preset has no pretrained weights
+    if cfg.name.startswith("test-tiny"):  # test presets have no pretrained weights
         return init_clip(cfg), cfg
     if checkpoint_path:
         sd = _load_openai_checkpoint(checkpoint_path)

@@ -132,6 +132,49 @@ def test_pretrained_clip_vitb32_embedding_parity():
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
 
 
+def test_pretrained_clip_rn50_embedding_parity():
+    """Real RN50 checkpoint (OpenAI layout, fetched by `clipcap_tpu.init`
+    into ~/.cache/clip/RN50.pt) loads through the RN import path and the
+    ModifiedResNet forward reproduces the clean-room torch oracle driven by
+    the SAME pretrained state dict (tests/test_resnet.py) within fp32
+    tolerance — the real-weights half of VERDICT r4 #2."""
+    path = os.path.expanduser("~/.cache/clip/RN50.pt")
+    if not os.path.exists(path):
+        pytest.skip("pretrained RN50.pt not in ~/.cache/clip (offline)")
+
+    import jax
+    import jax.numpy as jnp
+
+    from clipcap_tpu.models.clip_resnet import (
+        clip_encode_image_resnet, resnet_config_from_openai,
+        resnet_params_from_openai)
+    from clipcap_tpu.models.clip_vit import _load_openai_checkpoint
+    from test_resnet import _ModifiedResNet
+
+    sd = {k: v for k, v in _load_openai_checkpoint(path).items()}
+    cfg = resnet_config_from_openai(sd)
+    assert cfg.layers == (3, 4, 6, 3) and cfg.width == 64
+    params = resnet_params_from_openai(sd, cfg)
+
+    oracle = _ModifiedResNet(layers=cfg.layers, output_dim=cfg.embed_dim,
+                             heads=cfg.heads, input_resolution=cfg.image_size,
+                             width=cfg.width)
+    visual_sd = {k[len("visual."):]: v.float() for k, v in sd.items()
+                 if k.startswith("visual.")}
+    oracle.load_state_dict(visual_sd)
+    oracle.eval()
+
+    rng = np.random.default_rng(0)
+    pixels = rng.normal(size=(2, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.tensor(pixels)).numpy()
+    got = np.asarray(clip_encode_image_resnet(
+        params, cfg, jnp.asarray(pixels.transpose(0, 2, 3, 1)),
+        dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        normalize_pixels=False))
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
 def test_pretrained_clap_htsat_checkpoint_loads_and_embeds():
     """Real laion_clap HTSAT checkpoint: the import path must load it and
     produce finite, unit-normalized embeddings whose layout matches the
