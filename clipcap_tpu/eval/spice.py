@@ -572,6 +572,12 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
     return tuples
 
 
+# Stable name for the chunker now that a parser-backed extractor is planned
+# on top of the same harness: baselines pin against THIS function while
+# ``extract_tuples`` is free to become the best available extractor.
+extract_tuples_chunker = extract_tuples
+
+
 def _stem_tuple(t: Tuple[str, ...]) -> Tuple[str, ...]:
     return tuple(porter_stem(w) for w in t)
 
