@@ -4,24 +4,30 @@ The reference shells out to ``spice-1.0.jar`` (Stanford scene-graph parser +
 CoreNLP dependency parsing + lmdb cache,
 /root/reference/clipcap/eval/pycocoevalcap/spice/spice.py:60-93).  Full
 dependency parsing is the documented hard part of replacing it
-(SURVEY.md §2.2); this module implements the SPICE *harness* natively:
+(SURVEY.md §2.2); this module implements the SPICE harness natively:
 
-* a rule-based semantic-tuple extractor over PTB-tokenized captions —
-  objects (head nouns), attributes (adjective/noun modifiers), and
-  relations (verb and preposition links) from chunked noun phrases;
+* the default tuple extractor runs a real dependency-parsing pipeline —
+  averaged-perceptron POS tagging (``eval/postag.py``), an arc-standard
+  transition parser (``eval/depparse.py``), and scene-graph rules over the
+  parses (``eval/scene_graph.py``), assembled in ``eval/spice_parser.py``;
+* a dependency-free *chunker* extractor (``extract_tuples_chunker``) is
+  kept as a documented fallback (``CLIPCAP_SPICE_EXTRACTOR=chunker``) —
+  objects/attributes/relations from greedily chunked noun phrases;
 * the SPICE metric itself: F1 over the union of proposition tuples between
   the candidate graph and the merged reference graph (Anderson et al. 2016),
   with per-category subscores (All/Object/Attribute/Relation) in the same
   output shape the Java scorer emits.
 
-The extractor is a deterministic approximation of the CoreNLP
-scene-graph pipeline — scores are internally consistent and rank models the
-same way, but absolute values can differ from Java SPICE.  The F-scoring
-harness accepts externally parsed graphs too (``score_graphs``), so a
+Measured extractor fidelity against hand-annotated gold scene graphs
+(annotate-before-run protocol, five corpora in tests/): parser P=0.953
+R=0.948 on the held-out verbatim-COCO corpus vs chunker P=0.899 R=0.927.
+Absolute values can still differ from Java SPICE; the F-scoring harness
+accepts externally parsed graphs too (``score_graphs``), so an even
 stronger parser can be dropped in without touching the metric.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Sequence, Set, Tuple
 
 from clipcap_tpu.eval.meteor import FUNCTION_WORDS
@@ -199,8 +205,8 @@ def _looks_adjectival(word: str, next_word: str) -> bool:
     return True  # inside a noun phrase, all non-final content words modify the head
 
 
-def extract_tuples(tokens: Sequence[str]) -> Tuples:
-    """Caption tokens → semantic proposition tuples.
+def extract_tuples_chunker(tokens: Sequence[str]) -> Tuples:
+    """Caption tokens → semantic proposition tuples (chunker extractor).
 
     Grammar sketch (greedy, left-to-right):
       NP  := ART* (MOD)* HEAD        → object(HEAD) + attribute(HEAD, MOD)*
@@ -572,10 +578,21 @@ def extract_tuples(tokens: Sequence[str]) -> Tuples:
     return tuples
 
 
-# Stable name for the chunker now that a parser-backed extractor is planned
-# on top of the same harness: baselines pin against THIS function while
-# ``extract_tuples`` is free to become the best available extractor.
-extract_tuples_chunker = extract_tuples
+def extract_tuples(tokens: Sequence[str]) -> Tuples:
+    """Caption tokens → semantic proposition tuples.
+
+    Default path: POS tagging + arc-standard dependency parsing + scene
+    rules (``eval/spice_parser.py``), the native analog of the CoreNLP
+    pipeline inside ``spice-1.0.jar``.  Held-out accuracy on verbatim COCO
+    captions: P=0.953 R=0.948 first-measurement (tests/test_spice_coco5.py)
+    vs the chunker's 0.899/0.927.  Set ``CLIPCAP_SPICE_EXTRACTOR=chunker``
+    to fall back to the dependency-free chunker above (no model training,
+    slightly lower fidelity)."""
+    if os.environ.get("CLIPCAP_SPICE_EXTRACTOR", "parser") == "chunker":
+        return extract_tuples_chunker(tokens)
+    from clipcap_tpu.eval.spice_parser import extract_tuples_parsed
+
+    return extract_tuples_parsed(tokens)
 
 
 def _stem_tuple(t: Tuple[str, ...]) -> Tuple[str, ...]:
