@@ -14,7 +14,14 @@ Exercises the real multi-host path end to end:
   /root/reference/clipcap/preprocess/distributor.py:24-48);
 * one ZeRO-1-sharded train step over the GLOBAL mesh, each process feeding
   its local half of the batch via ``jax.make_array_from_process_local_data``
-  (reference analog: DDP data sharding, train.py:77-88).
+  (reference analog: DDP data sharding, train.py:77-88);
+* ``tp`` mode: tensor parallelism across the REAL process boundary — a
+  (data=1, model=4) mesh whose Megatron ``model`` axis spans both
+  processes, running the full train step (``lm_tp=True``) and the
+  sharded beam/decode serving path (``inference/serving.py``).  The
+  reference has no TP at all (SURVEY.md §2.3); this validates that the
+  per-block psums XLA emits from the shardings ride a genuine
+  inter-process transport, not just in-process device buffers.
 """
 import json
 import os
@@ -60,6 +67,10 @@ def main(out_path: str, mode: str = "train", data_dir: str = "",
         ]))
         with open(out_path, "w") as f:
             json.dump({"process": pi, "rc": rc}, f)
+        return
+
+    if mode == "tp":
+        run_tp(out_path, pi)
         return
 
     # --- MultiHostDistributor: partition ids striped by process index ----
@@ -115,6 +126,83 @@ def main(out_path: str, mode: str = "train", data_dir: str = "",
             "local_devices": jax.local_device_count(),
             "claimed": claimed,
             "losses": losses,
+        }, f)
+
+
+def run_tp(out_path: str, pi: int) -> None:
+    """Tensor-parallel train + serve over a ``model`` axis that crosses the
+    process boundary (VERDICT r4 #5).  Mesh is (data=1, model=4) with two
+    devices per process, so every Megatron per-block psum is a real
+    inter-process collective.  The batch/prefix are replicated (data=1):
+    both processes feed identical full copies."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as ge
+    from clipcap_tpu.inference.beam import BeamParams
+    from clipcap_tpu.inference.engine import SamplingParams
+    from clipcap_tpu.inference.serving import (beam_search_sharded,
+                                               decode_sharded)
+    from clipcap_tpu.models.mapper import mapper_apply
+    from clipcap_tpu.parallel.mesh import MeshConfig, make_mesh
+    from clipcap_tpu.parallel.tp import pack_qkv_head_major
+    from clipcap_tpu.train.state import create_train_state, make_optimizer
+    from clipcap_tpu.train.step import make_train_step
+
+    model = ge._tiny_model(train_language_model=True)
+    lm, lm_cfg = pack_qkv_head_major(model.params["lm"], model.lm_config)
+    params = dict(model.params, lm=lm)
+    tx = make_optimizer(lr=1e-3, warmup_steps=0, total_steps=50,
+                        train_language_model=True)
+    state = create_train_state(params, tx)
+
+    n_global = jax.device_count()  # 4; n_head=4 divides it
+    mesh = make_mesh(MeshConfig(data=1, model=n_global), devices=jax.devices())
+    step_fn, state = make_train_step(
+        mesh, state, tx, lm_cfg, model.mapper_config,
+        prefix_length=model.config.prefix_length, dtype=jnp.float32,
+        zero1=True, lm_tp=True,
+    )
+
+    B, T, E = 8, 8, 32
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(1, 512, size=(B, T)).astype(np.int32)
+    tokens[:, -2:] = -1
+    embeds = rng.normal(size=(B, E)).astype(np.float32)
+    tok_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data", None)), tokens, (B, T))
+    emb_g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data", None)), embeds, (B, E))
+
+    losses = []
+    for _ in range(3):
+        state, metrics = step_fn(state, tok_g, emb_g)
+        losses.append(float(metrics["loss"]))
+
+    # Serve with the POST-step params (state was donated; its LM tree is
+    # live model-sharded across both processes — exactly the layout
+    # serving._params_spec expects, so no resharding happens).
+    prefix = np.asarray(mapper_apply(state.params["mapper"],
+                                     model.mapper_config,
+                                     jnp.asarray(embeds), dtype=jnp.float32))
+    bp = BeamParams(beam_size=3, max_new_tokens=6, stop_token=511)
+    beam = beam_search_sharded(state.params["lm"], lm_cfg, prefix, bp,
+                               mesh, jnp.float32)
+    sp = SamplingParams(max_new_tokens=5, mode="greedy", stop_token=511)
+    dec = decode_sharded(state.params["lm"], lm_cfg, prefix,
+                         jax.random.PRNGKey(0), sp, mesh, jnp.float32)
+
+    with open(out_path, "w") as f:
+        json.dump({
+            "process": pi,
+            "global_devices": n_global,
+            "losses": losses,
+            "beam_tokens": np.asarray(
+                beam.tokens.addressable_data(0)).tolist(),
+            "beam_scores": np.asarray(
+                beam.scores.addressable_data(0)).tolist(),
+            "decode_tokens": np.asarray(
+                dec.tokens.addressable_data(0)).tolist(),
         }, f)
 
 
