@@ -12,12 +12,16 @@ no JVM:
   uses the Snowball English ("Porter2") stemmer — the same algorithm as the
   jar's ``org.tartarus.snowball.ext.englishStemmer``
   (clipcap_tpu/eval/snowball.py, validated against nltk's independent
-  implementation).  The synonym stage activates when a synonym table is
-  supplied (the jar reads WordNet, which is not distributable here); the
-  paraphrase stage activates when ``paraphrase-en.gz`` is present
-  (fetched by ``python -m clipcap_tpu.init``).  Paraphrase matches are
-  phrase-level: a match may cover multi-word spans on both sides, exactly
-  like the jar's paraphrase matcher.
+  implementation).  The synonym stage runs on the jar's WordNet tables when
+  ``python -m clipcap_tpu.init`` has fetched them, and otherwise on the
+  SHIPPED compact curated table (``data/synonyms_en_compact.txt``) so the
+  stage is live by default offline — measured corpus-level effect +0.0069
+  METEOR on the committed COCO caption corpus (the full tier table lives in
+  docs/performance.md, "METEOR resources"); ``CLIPCAP_METEOR_SYNONYMS=none``
+  disables it.  The paraphrase stage activates when ``paraphrase-en.gz`` is
+  present (also fetched by init).  Paraphrase matches are phrase-level: a
+  match may cover multi-word spans on both sides, exactly like the jar's
+  paraphrase matcher.
 * **Alignment**: beam search over the candidate match set with the jar's
   objective — lexicographically maximize (total words covered,
   −chunks, −total start-position distance).  Verified against exhaustive
@@ -140,12 +144,24 @@ def default_synonym_paths() -> Optional[Tuple[str, Optional[str]]]:
     """The jar's WordNet synonym resources, extracted by init:
     (synsets path, exceptions path or None).  Overridable with
     $CLIPCAP_METEOR_SYNONYMS (a synsets file; a sibling ``*.exceptions``
-    is picked up automatically)."""
+    is picked up automatically; the value ``none`` disables the synonym
+    stage entirely, including the shipped compact table)."""
+    if os.environ.get("CLIPCAP_METEOR_SYNONYMS", "").lower() == "none":
+        return None
     syn = _default_resource("CLIPCAP_METEOR_SYNONYMS", "english.synsets")
     if syn is None:
         return None
     exc = os.path.join(os.path.dirname(syn), "english.exceptions")
     return syn, (exc if os.path.exists(exc) else None)
+
+
+def compact_synonyms_path() -> str:
+    """The shipped hand-curated synonym table (``data/
+    synonyms_en_compact.txt``) — the offline default that keeps the synonym
+    stage live when the init-fetched WordNet tables are absent.  The
+    init-fetched tables take precedence (``default_synonym_paths``)."""
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "synonyms_en_compact.txt")
 
 
 def load_function_words(path: str) -> Set[str]:
@@ -205,6 +221,26 @@ class Synonyms:
         return cls(word_ids)
 
     @classmethod
+    def from_groups(cls, path: str) -> "Synonyms":
+        """Load a synonym-GROUP file (one whitespace-separated group per
+        line, ``#`` comments skipped; group id = line ordinal) — the format
+        of the shipped ``data/synonyms_en_compact.txt``.  A word appearing
+        in several groups gets the union of their ids, so the matching rule
+        is identical to the synset form."""
+        word_ids: Dict[str, Set[int]] = {}
+        with open(path, "rt", encoding="utf-8", errors="replace") as f:
+            for gid, line in enumerate(f):
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                words = [w.lower() for w in line.split()]
+                if len(words) < 2:
+                    continue
+                for w in words:
+                    word_ids.setdefault(w, set()).add(gid)
+        return cls(word_ids)
+
+    @classmethod
     def load_flat(cls, path: str) -> "Synonyms":
         """Canonical flat form (``word\\tid id ...``, exceptions already
         folded) — the file ``get_meteor`` materializes for the C++ core."""
@@ -237,39 +273,71 @@ def _flat_synonyms_path(synsets_path: str, exceptions_path: Optional[str]):
     return flat
 
 
+def _compact_flat_path() -> Optional[str]:
+    """Flat (word → ids) form of the shipped compact group table, cached in
+    the user cache dir for the C++ core.  None if it cannot be written."""
+    src = compact_synonyms_path()
+    if not os.path.exists(src):
+        return None
+    flat = os.path.expanduser("~/.cache/clipcap_tpu/meteor/compact.flat")
+    try:
+        if (not os.path.exists(flat)
+                or os.path.getmtime(src) > os.path.getmtime(flat)):
+            os.makedirs(os.path.dirname(flat), exist_ok=True)
+            Synonyms.from_groups(src).save_flat(flat)
+        return flat
+    except OSError:
+        return None
+
+
 def get_meteor(synonyms=None, paraphrase_path: Optional[str] = None,
                synonym_paths: Optional[Tuple[str, Optional[str]]] = None,
                function_words_path: Optional[str] = None):
     """Return the C++ METEOR core when built, else the Python scorer.
 
     Every resource defaults to the init-fetched file when present:
-    paraphrase table, WordNet synonym tables (synonym stage stays inert
-    without them), and the jar's ``function/en.words`` (hand-curated
-    fallback otherwise).  ``synonyms`` may be a prebuilt
-    ``Dict[str, Set[str]]``/``Synonyms`` — those configurations use the
-    Python scorer."""
+    paraphrase table, WordNet synonym tables, and the jar's
+    ``function/en.words`` (hand-curated fallback otherwise).  Without the
+    init-fetched WordNet tables the synonym stage falls back to the shipped
+    compact curated table (``data/synonyms_en_compact.txt``) so the stage
+    is live by default offline; ``CLIPCAP_METEOR_SYNONYMS=none`` disables
+    it.  Measured corpus-level effect of each resource tier is documented
+    in docs/performance.md ("METEOR resources").  ``synonyms`` may be a
+    prebuilt ``Dict[str, Set[str]]``/``Synonyms`` — those configurations
+    use the Python scorer."""
     if paraphrase_path is None:
         paraphrase_path = default_paraphrase_path()
     if function_words_path is None:
         function_words_path = default_function_words_path()
+    use_compact = False
     if synonyms is None and synonym_paths is None:
         synonym_paths = default_synonym_paths()
+        if (synonym_paths is None and os.environ.get(
+                "CLIPCAP_METEOR_SYNONYMS", "").lower() != "none"):
+            use_compact = os.path.exists(compact_synonyms_path())
     fwords = (load_function_words(function_words_path)
               if function_words_path else None)
     if synonyms is None:
         try:
             from clipcap_tpu.native import meteor as native
 
+            if synonym_paths is not None:
+                syn_flat = _flat_synonyms_path(*synonym_paths)
+            elif use_compact:
+                syn_flat = _compact_flat_path()
+            else:
+                syn_flat = None
             return native.Meteor(
                 paraphrase_path=paraphrase_path,
                 function_words_path=function_words_path,
-                synonyms_path=(_flat_synonyms_path(*synonym_paths)
-                               if synonym_paths else None),
+                synonyms_path=syn_flat,
             )
         except Exception:
             pass
         if synonym_paths is not None:
             synonyms = Synonyms.load(*synonym_paths)
+        elif use_compact:
+            synonyms = Synonyms.from_groups(compact_synonyms_path())
     return Meteor(synonyms=synonyms, paraphrase_path=paraphrase_path,
                   function_words=fwords)
 
