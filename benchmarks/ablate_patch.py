@@ -11,6 +11,10 @@ Forms (all produce [B, 49, 768] pre-cls patch embeddings):
              permuted once at fold time, outside the timed region) —
              tests whether the (c, ph, pw) inner transpose is the cost
   astype   — uint8→bf16 conversion alone (traffic floor probe)
+  pallas   — the fused uint8-im2col+matmul kernel (ops/patch_embed.py,
+             round 5): one pass, no bf16 pixel intermediate
+
+Pass a variant name (e.g. ViT-L/14) as the first arg to switch geometry.
 """
 from __future__ import annotations
 
@@ -33,10 +37,12 @@ except Exception:
 from clipcap_tpu.models.clip_vit import get_clip_config, init_clip, patchify
 from clipcap_tpu.ops.layers import linear
 
-CFG = get_clip_config("ViT-B/32")
+_VARIANT = next((a for a in sys.argv[1:] if a.startswith(("ViT", "RN"))),
+                "ViT-B/32")
+CFG = get_clip_config(_VARIANT)
 DT = jnp.bfloat16
-P = CFG.vision.patch_size  # 32
-D = CFG.vision.width       # 768
+P = CFG.vision.patch_size
+D = CFG.vision.width
 
 
 def build(mode: str, w):
@@ -74,6 +80,11 @@ def build(mode: str, w):
 
         return jax.jit(f), True
 
+    if mode == "pallas":
+        from clipcap_tpu.ops.patch_embed import patch_embed_fused
+
+        return jax.jit(lambda x: patch_embed_fused(x, w, None, P, out_dtype=DT))
+
     if mode == "rowmajor":
         # permute weight rows once so patch rows can stay (ph, pw, c)-minor:
         # row (ph*P + pw)*3 + c  <-  shipping row c*P*P + ph*P + pw
@@ -97,8 +108,9 @@ def build(mode: str, w):
 def main():
     args = sys.argv[1:]
     batch = int(args[0]) if args and args[0].isdigit() else 512
-    modes = [a for a in args if not a.isdigit()] or [
-        "astype", "reshape", "conv", "rowmajor"]
+    modes = [a for a in args
+             if not a.isdigit() and not a.startswith(("ViT", "RN"))] or [
+        "astype", "reshape", "conv", "rowmajor", "pallas"]
 
     params = jax.tree_util.tree_map(lambda p: p.astype(DT),
                                     init_clip(CFG, seed=0))

@@ -380,7 +380,6 @@ def clip_encode_image(
         return clip_encode_image_resnet(params, cfg, images, dtype=dtype,
                                         precision=precision,
                                         normalize_pixels=normalize_pixels)
-    x = images.astype(dtype)
 
     # Fold pixel normalization (and the uint8 /255) INTO the patch-embed
     # weights: ((x - mean)/std) @ W  ==  x @ (W/std) - (mean/std) @ W.
@@ -401,11 +400,29 @@ def clip_encode_image(
         w = (w.astype(jnp.float32) * scale_p[:, None]).astype(dtype)
         bias0 = -(mean_p / std_p) @ params["patch_embed"]["w"].astype(jnp.float32)
         bias0 = bias0.astype(dtype)
-    elif images.dtype == jnp.uint8:
-        x = x / 255.0
 
-    x = patchify(x, cfg.patch_size)
-    x = linear(x, w, bias0, precision)  # [B, N, D]
+    from clipcap_tpu.ops.patch_embed import (patch_embed_fused,
+                                             patch_embed_supported,
+                                             patch_kernel_enabled)
+
+    if (patch_kernel_enabled() and dtype == jnp.bfloat16
+            and patch_embed_supported(images, cfg.patch_size)):
+        # One-pass uint8 im2col+matmul Pallas kernel (opt-in,
+        # CLIPCAP_PATCH_KERNEL=1; measured verdict in docs/performance.md).
+        # uint8 /255 is inside the fold when normalizing; without the fold
+        # the raw-0..255 scale folds into the weight the same way.
+        if normalize_pixels:
+            wk, bk = w, bias0
+        else:
+            wk = (params["patch_embed"]["w"].astype(jnp.float32) / 255.0).astype(dtype)
+            bk = None
+        x = patch_embed_fused(images, wk, bk, cfg.patch_size, out_dtype=dtype)
+    else:
+        x = images.astype(dtype)
+        if not normalize_pixels and images.dtype == jnp.uint8:
+            x = x / 255.0
+        x = patchify(x, cfg.patch_size)
+        x = linear(x, w, bias0, precision)  # [B, N, D]
 
     B = x.shape[0]
     cls = jnp.broadcast_to(params["class_embedding"].astype(dtype)[None, None], (B, 1, cfg.width))

@@ -413,3 +413,63 @@ def test_pick_u_tile_override_semantics(monkeypatch):
 
     monkeypatch.delenv("CLIPCAP_FLASH_U_TILE", raising=False)
     importlib.reload(fd)
+
+
+# ---------------------------------------------------------------------------
+# Fused uint8 im2col + matmul patch embedding (ops/patch_embed.py)
+# ---------------------------------------------------------------------------
+
+
+def test_patch_embed_fused_matches_patchify(rng):
+    """The Pallas patch-embed kernel is the shipping patchify+matmul up to
+    fp32 summation order: same bf16 pixel/weight rounding, fp32 accumulate."""
+    from clipcap_tpu.models.clip_vit import patchify
+    from clipcap_tpu.ops.layers import linear
+    from clipcap_tpu.ops.patch_embed import patch_embed_fused
+
+    B, H, W, P, D = 3, 32, 48, 16, 64
+    imgs = jnp.asarray(rng.integers(0, 256, (B, H, W, 3)), jnp.uint8)
+    w = jnp.asarray(rng.standard_normal((3 * P * P, D)) * 0.05, jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((D,)) * 0.1, jnp.float32)
+
+    ref = linear(patchify(imgs.astype(jnp.bfloat16), P), w,
+                 bias.astype(jnp.bfloat16), None)
+    out = patch_embed_fused(imgs, w, bias, P, out_dtype=jnp.bfloat16)
+    assert out.shape == (B, (H // P) * (W // P), D)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=0.3, rtol=0.03)
+
+
+def test_patch_kernel_in_clip_forward(rng, monkeypatch):
+    """CLIPCAP_PATCH_KERNEL=1 routes the ViT front end through the kernel
+    and reproduces the shipping forward (test-tiny, both pixel modes)."""
+    import clipcap_tpu.models.clip_vit as cv
+
+    cfg = cv.get_clip_config("test-tiny").vision
+    params = cv.init_clip_vision(cfg, seed=0)
+    imgs = jnp.asarray(rng.integers(0, 256, (3, cfg.image_size,
+                                             cfg.image_size, 3)), jnp.uint8)
+    for norm in (True, False):
+        monkeypatch.delenv("CLIPCAP_PATCH_KERNEL", raising=False)
+        ref = np.asarray(cv.clip_encode_image(params, cfg, imgs,
+                                              dtype=jnp.bfloat16,
+                                              normalize_pixels=norm),
+                         np.float32)
+        monkeypatch.setenv("CLIPCAP_PATCH_KERNEL", "1")
+        out = np.asarray(cv.clip_encode_image(params, cfg, imgs,
+                                              dtype=jnp.bfloat16,
+                                              normalize_pixels=norm),
+                         np.float32)
+        scale = np.abs(ref).max()
+        assert np.abs(out - ref).max() <= 0.02 * scale
+
+
+def test_patch_embed_supported_gating():
+    from clipcap_tpu.ops.patch_embed import patch_embed_supported
+
+    u8 = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    assert patch_embed_supported(u8, 16)
+    assert not patch_embed_supported(u8.astype(jnp.bfloat16), 16)  # float input
+    assert not patch_embed_supported(u8, 15)                       # ragged grid
+    assert not patch_embed_supported(u8[..., :1], 16)              # not RGB
