@@ -37,13 +37,18 @@ import pytest  # noqa: E402
 
 
 def pytest_configure(config):
-    # Full coverage stays `pytest tests/ -q`; the sub-10-minute developer
-    # gate is `pytest tests/ -q -m "not slow"` (VERDICT r3 #7).
+    # Tier budget (VERDICT r4 #8): the developer gate
+    # `pytest tests/ -q -m "not slow"` stays under ~5 minutes and the full
+    # tier `pytest tests/ -q` under ~30 minutes on a single-core CI box.
+    # When a feature's main gate is multi-minute, it is marked slow and a
+    # cheaper representative of the same feature stays in the fast tier
+    # (e.g. TP: test_tensor_parallel_serving_matches_single_device fast,
+    # test_head_major_qkv_packing_parity slow).
     config.addinivalue_line(
         "markers",
         "slow: multi-minute integration tests (2-process clusters, "
-        "full-pipeline CLIs, large virtual-mesh programs); "
-        "deselect with -m 'not slow'")
+        "full-pipeline CLIs, large virtual-mesh programs, heavy parity "
+        "sweeps); deselect with -m 'not slow'")
 
 
 @pytest.fixture

@@ -403,6 +403,7 @@ def test_fusion_short_audio_matches_plain_path():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fusion_long_audio_uses_full_duration():
     """>10 s audio: the fusion input is built from the whole waveform and
     the embedding must differ from the truncate-to-10s embedding (the

@@ -258,6 +258,7 @@ def test_beam_search_batched_matches_single():
                                    np.asarray(single.scores), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_top_p_prefilter_window_semantics(monkeypatch):
     """The top-p window (ops/sampling._TOPP_PREFILTER) is exact whenever the
     nucleus cutoff lands inside it; on pathologically flat rows the nucleus

@@ -270,6 +270,7 @@ def test_flash_decode_odd_head_count():
                                atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_cached_decode_attention_mask_pads_to_slots(tiny_jax):
     """gpt2_apply pads a [B, max_len] attention_mask to the cache's padded
     slot count (init_kv_cache rounds slots to the u-tile quantum); masked
@@ -434,6 +435,7 @@ def test_flash_two_phase_carry_matches_single():
                                        err_msg=f"c={c} lv={live_valid}")
 
 
+@pytest.mark.slow
 def test_flash_two_phase_fused_heterogeneous_bounds():
     """Direct fused-kernel contract: per-sample shared lengths, live lows
     and live valid counts (all different across rows, exercising per-block
@@ -536,6 +538,7 @@ def test_consolidated_beam_gpt2_apply_flash_matches_xla():
                                    err_msg=f"int8={int8}")
 
 
+@pytest.mark.slow
 def test_folded_prefix_flash_matches_xla(tiny_jax):
     """Folded-prefix beam cache (prefix once at the buffer head,
     init_kv_cache(prefix_slots=P) + cache_base=P without shared_kv): the
@@ -587,6 +590,7 @@ def test_folded_prefix_flash_matches_xla(tiny_jax):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_head_major_qkv_packing_parity():
     """pack_qkv_head_major is a pure layout permutation: full-sequence
     logits AND cached beam decode are bitwise-comparable (fp32) to the

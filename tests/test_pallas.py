@@ -34,6 +34,7 @@ def _make_params(rng):
     }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("schedule", ["const", "callable"])
 def test_fused_adamw_matches_optax(rng, schedule):
     params = _make_params(rng)
@@ -203,6 +204,7 @@ def test_sdpa_packed_matches_unfused(rng):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_clip_forward_packed_attention_matches_xla(rng, monkeypatch):
     """clip_encode_image with CLIPCAP_FUSED_ATTN=1 (packed-qkv Pallas path,
     interpret mode on CPU) must match the XLA path — the on-TPU default
@@ -260,6 +262,7 @@ def test_sdpa_packed_stripe_long_rows(rng):
                                    atol=3e-5, rtol=3e-5)
 
 
+@pytest.mark.slow
 def test_clip_int8_fidelity(rng, monkeypatch):
     """w8a8 ViT path (--int8-encoder): quantized forward must track the
     fp32 forward closely (per-token activation + per-channel weight int8
@@ -305,6 +308,7 @@ def test_clip_int8_fidelity(rng, monkeypatch):
         get_encoder("clap", "HTSAT-tiny", int8=True)
 
 
+@pytest.mark.slow
 def test_int8_rerank_uses_w8a8_path(rng, monkeypatch):
     """ADVICE r4: CLIPEncoder(int8=True).similarity must run the visual
     tower through the same w8a8 path as embedding extraction — the
@@ -441,6 +445,7 @@ def test_patch_embed_fused_matches_patchify(rng):
                                atol=0.3, rtol=0.03)
 
 
+@pytest.mark.slow
 def test_patch_kernel_in_clip_forward(rng, monkeypatch):
     """CLIPCAP_PATCH_KERNEL=1 routes the ViT front end through the kernel
     and reproduces the shipping forward (test-tiny, both pixel modes)."""

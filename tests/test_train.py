@@ -144,6 +144,7 @@ def test_prefix_only_freezes_lm(tmp_path):
     assert changed
 
 
+@pytest.mark.slow
 def test_full_finetune_loss_decreases():
     import jax
     import jax.numpy as jnp

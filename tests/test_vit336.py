@@ -13,6 +13,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -53,6 +54,7 @@ def test_vit_l14_336_preset_and_transform():
     assert wout.shape == (5, 336, 336, 3) and wout.dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_vit_l14_336_forward_577_tokens():
     """Forward through the production encode path with the preset's true
     geometry (577-token rows, width 1024) at reduced depth — the full
