@@ -1253,6 +1253,159 @@ def t_obj_coord(rng: random.Random) -> N:
     return subj
 
 
+def t_passive_acl_then_finite(rng: random.Random) -> N:
+    """'a table covered with plates stands in a kitchen' — reduced
+    relative on the subject, then a finite main verb (corpus-6 round-5
+    failure class: 'filled with people floats' parsed as relcl soup)."""
+    subj = _pick_np(rng, [THINGS, PLACES])
+    part = N(rng.choice(PARTICIPLES), "VBN")
+    pp_on(part, rng.choice(["with", "in", "by"]),
+          _pick_np(rng, [THINGS, ANIMALS], plural_p=0.7), "obl")
+    subj.post.append((part, "acl"))
+    forms = rng.choice(V_INTRANS)
+    v = vbz(forms)
+    v.pre.append((subj, "nsubj"))
+    prep = rng.choice(PREPS + ["down", "up", "along"])
+    pp_on(v, prep, _pick_np(rng, [PLACES]), "obl")
+    return v
+
+
+def t_of_content_finite(rng: random.Random) -> N:
+    """'a group of children play a game in a park' — of-chain subject with
+    a finite plural-agreement verb (base form, pinned VB): the content noun
+    acts, the object keeps its nearest-NP PP."""
+    c, of = rng.choice(CONTAINERS[:8])
+    host = NP(noun(c), d="a")
+    sg, pl = rng.choice(rng.choice([PEOPLE, ANIMALS]))
+    inner = NP(noun(pl, True), d=None)
+    pp_on(host, of, inner, "nmod")
+    forms = rng.choice(V_TRANS)
+    v = N(forms[4], "VB")
+    v.pre.append((host, "nsubj"))
+    obj = _pick_np(rng, [THINGS, ANIMALS], plural_p=0.5)
+    if rng.random() < 0.7:
+        pp_on(obj, rng.choice(PREPS + ["along", "down"]),
+              _pick_np(rng, [PLACES]), "nmod")
+    v.post.append((obj, "obj"))
+    return v
+
+
+def t_vbn_particle(rng: random.Random) -> N:
+    """'boats lined up along a canal' — VBN + RP particle + oblique
+    (teaches 'up' as a particle after participles)."""
+    subj = _pick_np(rng, [THINGS], plural_p=0.6)
+    part = N(rng.choice(["lined", "stacked", "piled", "tied", "propped",
+                         "hung", "backed", "parked"]), "VBN")
+    part.post.append((N("up", "RP"), "prt"))
+    pp_on(part, rng.choice(["along", "against", "at", "near", "behind",
+                            "beside", "on"]),
+          _pick_np(rng, [PLACES, THINGS]), "obl")
+    subj.post.append((part, "acl"))
+    return subj
+
+
+def t_vbn_to_obl_chain(rng: random.Random) -> N:
+    """'a sign attached to the front of a store' — VBN + to-oblique whose
+    noun carries an of-chain (nearest-NP)."""
+    subj = _pick_np(rng, [THINGS])
+    part = N(rng.choice(["attached", "mounted", "fastened", "fixed",
+                         "bolted", "taped", "nailed"]), "VBN")
+    mid = NP(noun(rng.choice(["front", "back", "side", "top", "bottom",
+                              "edge", "corner"])), d="the")
+    mid.pre.insert(0, (N("to", "TO"), "case"))
+    part.post.append((mid, "obl"))
+    pp_on(mid, "of", _pick_np(rng, [THINGS, PLACES]), "nmod")
+    subj.post.append((part, "acl"))
+    return subj
+
+
+def t_depictive_pp(rng: random.Random) -> N:
+    """'a flag flying high above the rooftops' — post-verbal depictive JJ
+    HEADS its PP (projective); the scene rules re-attach the PP per the
+    nearest-NP convention."""
+    subj = _pick_np(rng, [THINGS, ANIMALS])
+    forms = rng.choice([("flies", "flying"), ("soars", "soaring"),
+                        ("hangs", "hanging"), ("rises", "rising"),
+                        ("floats", "floating"), ("glides", "gliding")])
+    v = vbg(forms) if rng.random() < 0.5 else vbz(forms)
+    adj = N(rng.choice(["high", "low"]), "JJ")
+    pp_on(adj, rng.choice(["above", "over", "in", "behind"]),
+          _pick_np(rng, [PLACES, THINGS]), "obl")
+    v.post.append((adj, "advmod"))
+    if v.tag == "VBG":
+        subj.post.append((v, "acl"))
+        return subj
+    v.pre.insert(0, (subj, "nsubj"))
+    return v
+
+
+def t_obj_depictive_pp(rng: random.Random) -> N:
+    """'a boy flying a kite high in the sky' — object, then a depictive JJ
+    heading the locative PP."""
+    subj = _pick_np(rng, [PEOPLE])
+    v = vbg(rng.choice([("flies", "flying"), ("holds", "holding"),
+                        ("lifts", "lifting"), ("raises", "raising")]))
+    v.post.append((_pick_np(rng, [THINGS]), "obj"))
+    adj = N(rng.choice(["high", "low"]), "JJ")
+    pp_on(adj, rng.choice(["in", "above", "over"]),
+          _pick_np(rng, [PLACES]), "obl")
+    v.post.append((adj, "advmod"))
+    subj.post.append((v, "acl"))
+    return subj
+
+
+def t_quant_plural(rng: random.Random) -> N:
+    """'several sheep graze in a field' — DT quantifier + plural noun
+    (incl. invariant plurals) + finite clause; also 'many people' objects."""
+    q = rng.choice(["several", "many", "few", "some"])
+    sg, pl = rng.choice(rng.choice([ANIMALS, PEOPLE, THINGS]))
+    subj = NP(noun(pl, True), d=None)
+    subj.pre.insert(0, (N(q, "DT"), "det"))
+    forms = rng.choice(V_INTRANS)
+    v = vbg(forms)
+    pp_on(v, rng.choice(PREPS), _pick_np(rng, [PLACES, THINGS]), "obl")
+    if rng.random() < 0.5:
+        # finite: 'several sheep are standing in a field'
+        v.pre.insert(0, (N("are", "VBP"), "aux"))
+        v.pre.insert(0, (subj, "nsubj"))
+        return v
+    # caption fragment: 'several sheep grazing in a field'
+    subj.post.append((v, "acl"))
+    return subj
+
+
+def t_obl_conj_rich(rng: random.Random) -> N:
+    """'a sandwich topped with lettuce and ripe tomatoes' — VBN oblique
+    coordination mixing mass nouns and modified plurals."""
+    subj = _pick_np(rng, [THINGS])
+    v = N(rng.choice(PARTICIPLES[:12]), "VBN")
+    first_mass = rng.random() < 0.5
+    a = (NP(noun(rng.choice(MASS)), d=None) if first_mass
+         else NP(noun(rng.choice(THINGS)[1], True), d=None))
+    b = NP(noun(rng.choice(THINGS)[1], True), d=None,
+           adjs=[rng.choice(ADJS)] if rng.random() < 0.7 else [])
+    b.pre.insert(0, (N("and", "CC"), "cc"))
+    a.post.append((b, "conj"))
+    pp_on(v, "with", a, "obl")
+    subj.post.append((v, "acl"))
+    return subj
+
+
+def t_acl_obl_then_passive(rng: random.Random) -> N:
+    """'a dog lying on a blanket covered with leaves' — the VBN modifies
+    the OBLIQUE noun (nearest-NP), not the subject."""
+    subj = _pick_np(rng, [ANIMALS, PEOPLE])
+    v = vbg(rng.choice(V_INTRANS))
+    place = _pick_np(rng, [THINGS, PLACES])
+    pp_on(v, rng.choice(["on", "in", "beside", "near"]), place, "obl")
+    part = N(rng.choice(PARTICIPLES), "VBN")
+    pp_on(part, rng.choice(["with", "in"]),
+          NP(noun(rng.choice(MASS)), d=None), "obl")
+    place.post.append((part, "acl"))
+    subj.post.append((v, "acl"))
+    return subj
+
+
 def t_amod_coord(rng: random.Random) -> N:
     host = _pick_np(rng, [THINGS, PLACES], adj_p=0.0)
     a = N(rng.choice(ADJS[:11]), "JJ")
@@ -1266,70 +1419,80 @@ def t_amod_coord(rng: random.Random) -> N:
 
 
 TEMPLATES = [
-    (t_bare_np, 18),
-    (t_np_pp, 40),
-    (t_np_pp_chain, 20),
-    (t_of_np, 22),
-    (t_of_np_content_acts, 20),
-    (t_of_np_container_locates, 15),
-    (t_acl_obj, 40),
-    (t_acl_obl, 30),
-    (t_acl_obj_nmod, 25),
-    (t_np_pp_acl_high, 20),
-    (t_relcl, 14),
-    (t_relcl_aux_vbg, 10),
-    (t_relcl_cop_adj, 8),
-    (t_relcl_cop_pp, 8),
-    (t_cop_adj, 12),
-    (t_cop_adj_conj, 8),
-    (t_cop_pp, 10),
-    (t_finite_trans, 22),
-    (t_finite_trans_aux, 10),
-    (t_finite_obl, 25),
-    (t_finite_intrans, 12),
-    (t_subj_coord, 20),
-    (t_with_coord, 12),
-    (t_asyndetic_list, 8),
-    (t_poss, 10),
-    (t_there_is, 12),
-    (t_passive_acl, 20),
-    (t_passive_cop, 12),
-    (t_vp_coord, 12),
-    (t_while_advcl, 10),
-    (t_as_pronoun_advcl, 10),
-    (t_control, 12),
-    (t_raising, 8),
-    (t_getting_ready, 6),
-    (t_particle, 10),
-    (t_close_up, 6),
-    (t_each_other, 6),
-    (t_depictive, 6),
-    (t_advmod_adj, 8),
-    (t_attrib_participle, 10),
-    (t_compound, 14),
-    (t_triple_compound, 8),
-    (t_nn_vb_ambig, 24),
-    (t_postposed_adj, 10),
-    (t_acl_then_finite, 10),
-    (t_cop_vp_coord, 8),
-    (t_obj_coord, 10),
-    (t_amod_coord, 8),
-    (t_postnominal_adj_of, 10),
-    (t_asyndetic_bare, 14),
-    (t_obl_nmod_chain, 16),
-    (t_obj_nmod_chain2, 14),
-    (t_themed, 8),
-    (t_relcl_passive, 12),
-    (t_stacked_acl, 12),
-    (t_vp_coord_trans, 14),
-    (t_finite_poss_obj, 10),
-    (t_bare_mass_obj_nmod, 14),
-    (t_obl_conj, 10),
-    (t_one_num, 6),
-    (t_poss_body_nmod, 12),
-    (t_vp_coord_intrans, 10),
-    (t_double_decker, 6),
-    (t_cop_pp_complex, 12),
+    (t_bare_np, 36),
+    (t_np_pp, 80),
+    (t_np_pp_chain, 40),
+    (t_of_np, 44),
+    (t_of_np_content_acts, 40),
+    (t_of_np_container_locates, 30),
+    (t_acl_obj, 80),
+    (t_acl_obl, 60),
+    (t_acl_obj_nmod, 50),
+    (t_np_pp_acl_high, 40),
+    (t_relcl, 28),
+    (t_relcl_aux_vbg, 20),
+    (t_relcl_cop_adj, 24),
+    (t_relcl_cop_pp, 32),
+    (t_cop_adj, 24),
+    (t_cop_adj_conj, 16),
+    (t_cop_pp, 20),
+    (t_finite_trans, 44),
+    (t_finite_trans_aux, 20),
+    (t_finite_obl, 50),
+    (t_finite_intrans, 24),
+    (t_subj_coord, 40),
+    (t_with_coord, 24),
+    (t_asyndetic_list, 16),
+    (t_poss, 20),
+    (t_there_is, 24),
+    (t_passive_acl, 40),
+    (t_passive_cop, 24),
+    (t_vp_coord, 24),
+    (t_while_advcl, 20),
+    (t_as_pronoun_advcl, 20),
+    (t_control, 24),
+    (t_raising, 16),
+    (t_getting_ready, 12),
+    (t_particle, 20),
+    (t_close_up, 12),
+    (t_each_other, 12),
+    (t_depictive, 12),
+    (t_advmod_adj, 16),
+    (t_attrib_participle, 20),
+    (t_compound, 28),
+    (t_triple_compound, 16),
+    (t_nn_vb_ambig, 48),
+    (t_postposed_adj, 20),
+    (t_acl_then_finite, 20),
+    (t_cop_vp_coord, 16),
+    (t_obj_coord, 20),
+    (t_amod_coord, 16),
+    (t_postnominal_adj_of, 20),
+    (t_asyndetic_bare, 28),
+    (t_obl_nmod_chain, 32),
+    (t_obj_nmod_chain2, 28),
+    (t_themed, 16),
+    (t_relcl_passive, 24),
+    (t_stacked_acl, 24),
+    (t_vp_coord_trans, 28),
+    (t_finite_poss_obj, 20),
+    (t_bare_mass_obj_nmod, 28),
+    (t_obl_conj, 20),
+    (t_one_num, 12),
+    (t_poss_body_nmod, 24),
+    (t_vp_coord_intrans, 20),
+    (t_double_decker, 12),
+    (t_cop_pp_complex, 24),
+    # round-5 corpus-6 failure classes (fresh instantiations only)
+    (t_passive_acl_then_finite, 32),
+    (t_of_content_finite, 28),
+    (t_vbn_particle, 24),
+    (t_vbn_to_obl_chain, 20),
+    (t_depictive_pp, 20),
+    (t_obj_depictive_pp, 16),
+    (t_quant_plural, 24),
+    (t_obl_conj_rich, 28),
+    (t_acl_obl_then_passive, 20),
 ]
 
 OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -174,7 +174,19 @@ def _subject_of(p: Parse, v: int, _depth: int = 0,
     def fin(s: Optional[int]) -> Optional[int]:
         if s is None:
             return None
-        return _descend_of(p, s) if descend else s
+        if descend:
+            return _descend_of(p, s)
+        # containers locate: a locative predicate whose subject resolved to
+        # the CONTENT noun of an of-chain belongs to the container ("a bowl
+        # of soup that is ON the counter" -> bowl), wherever the parser
+        # attached the relative clause
+        seen = set()
+        while (s not in seen and p.labels[s] == "nmod"
+               and p.case_of(s) == "of" and p.heads[s] >= 0
+               and p.is_noun(p.heads[s])):
+            seen.add(s)
+            s = p.heads[s]
+        return s
 
     ns = p.kid(v, "nsubj")
     if ns is not None:
@@ -335,6 +347,21 @@ def tuples_from_parse(words: Sequence[str], tags: Sequence[str],
                         out.add((w(s), word, w(b)))
                         emitted = True
             for j in obls:
+                # nearest-NP convention: a PP that follows the object
+                # belongs to the object ("swinging a bat AT A BALL" ->
+                # (bat, at, ball)), even when the parser attached it to
+                # the verb as an oblique; without an object the verb
+                # absorbs it ("grazing IN A FIELD" -> (sheep, grazing,
+                # field))
+                c = p.case_of(j)
+                pre_objs = [o for o in objs if o < j]
+                if c is not None and pre_objs:
+                    host = max(pre_objs)
+                    for a in _noun_groups(p, host):
+                        for b in _noun_groups(p, j):
+                            out.add((w(a), c, w(b)))
+                    emitted = True
+                    continue
                 for s in subj_group:
                     for b in _noun_groups(p, j):
                         out.add((w(s), word, w(b)))
@@ -344,10 +371,35 @@ def tuples_from_parse(words: Sequence[str], tags: Sequence[str],
                 for s in subj_group:
                     out.add((w(s), word))
                 emitted = True
-            if not emitted and not objs and not obls:
-                # intransitive (incl. pronoun-obl "next to each other")
-                for s in subj_group:
-                    out.add((w(s), word))
+
+        # depictive JJ advmod heading a PP ("flying a kite HIGH IN THE
+        # SKY", "rising HIGH ABOVE the buildings"): the adjective itself
+        # is dropped and its PP re-attaches per the nearest-NP convention
+        # — to the preceding object if there is one, else absorbed by the
+        # verb
+        for j in p.kids(v, "advmod"):
+            if not p.is_adj(j):
+                continue
+            for k in p.kids(j, "obl") + p.kids(j, "nmod"):
+                c = p.case_of(k)
+                if c is None or not p.is_noun(k) or p.is_pron(k):
+                    continue
+                pre_objs = [o for o in objs if o < j]
+                if pre_objs:
+                    host = max(pre_objs)
+                    for a in _noun_groups(p, host):
+                        for b in _noun_groups(p, k):
+                            out.add((w(a), c, w(b)))
+                elif subj_group:
+                    for s in subj_group:
+                        for b in _noun_groups(p, k):
+                            out.add((w(s), word, w(b)))
+                    emitted = True
+
+        if subj_group and not emitted and not objs and not obls:
+            # intransitive (incl. pronoun-obl "next to each other")
+            for s in subj_group:
+                out.add((w(s), word))
 
         # adjective xcomp of a verb: attribute of the subject
         # ("getting ready", "painted baby blue")

@@ -40,8 +40,8 @@ MULTIWORD_PREPS = [("in", "front", "of"), ("on", "top", "of"),
 _lock = threading.Lock()
 _models: Optional[Tuple[PerceptronTagger, ArcStandardParser]] = None
 
-TAGGER_EPOCHS = 6
-PARSER_EPOCHS = 8
+TAGGER_EPOCHS = 10
+PARSER_EPOCHS = 14
 SEED = 1
 
 
