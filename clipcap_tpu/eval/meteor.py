@@ -318,6 +318,7 @@ def get_meteor(synonyms=None, paraphrase_path: Optional[str] = None,
     fwords = (load_function_words(function_words_path)
               if function_words_path else None)
     if synonyms is None:
+        compact_unavailable = False
         try:
             from clipcap_tpu.native import meteor as native
 
@@ -325,6 +326,14 @@ def get_meteor(synonyms=None, paraphrase_path: Optional[str] = None,
                 syn_flat = _flat_synonyms_path(*synonym_paths)
             elif use_compact:
                 syn_flat = _compact_flat_path()
+                if syn_flat is None:
+                    # The native core reads the flattened table from disk;
+                    # an unwritable cache must NOT silently drop the
+                    # synonym stage (identical configurations would score
+                    # differently across machines) — fall through to the
+                    # Python scorer, which loads the group table directly.
+                    compact_unavailable = True
+                    raise OSError("compact synonym table not materializable")
             else:
                 syn_flat = None
             return native.Meteor(
@@ -333,7 +342,13 @@ def get_meteor(synonyms=None, paraphrase_path: Optional[str] = None,
                 synonyms_path=syn_flat,
             )
         except Exception:
-            pass
+            if compact_unavailable:
+                import warnings
+
+                warnings.warn(
+                    "METEOR: cannot cache the flattened compact synonym "
+                    "table (unwritable ~/.cache/clipcap_tpu); using the "
+                    "Python scorer so the synonym stage stays live.")
         if synonym_paths is not None:
             synonyms = Synonyms.load(*synonym_paths)
         elif use_compact:

@@ -61,6 +61,26 @@ PREPOSITIONS = {"in", "on", "at", "by", "with", "near", "under", "over",
 # Token runs collapsed into single prepositional link tokens, longest first.
 MULTIWORD_PREPS = [("in", "front", "of"), ("on", "top", "of"),
                    ("next", "to"), ("close", "to")]
+
+
+def collapse_multiword(tokens) -> List[str]:
+    """Collapse multiword-preposition token runs into single link tokens
+    ("in front of" etc. — CoreNLP emits them as one nmod label).  Shared by
+    both extractors (the chunker here and ``spice_parser``) so they always
+    see identical tokens."""
+    words = [w for w in tokens if w]
+    out: List[str] = []
+    i = 0
+    while i < len(words):
+        for run in MULTIWORD_PREPS:
+            if tuple(words[i:i + len(run)]) == run:
+                out.append(" ".join(run))
+                i += len(run)
+                break
+        else:
+            out.append(words[i])
+            i += 1
+    return out
 # Clause boundaries: the relation scan must not chain a verb across these
 # ("a dog runs WHILE a cat sleeps" is two clauses, not (dog, runs, cat)).
 CLAUSE_BREAKS = {"while"}
@@ -215,24 +235,9 @@ def extract_tuples_chunker(tokens: Sequence[str]) -> Tuples:
                                      → relation(HEAD1, V, HEAD2)
       NP COP ADJ                     → attribute(HEAD, ADJ)
     """
-    words = [w for w in tokens if w]
-    # Collapse multiword prepositions into single link tokens ("in front
-    # of" etc. — CoreNLP emits them as one nmod label; without this,
-    # 'front' chunks as a noun object).
-    out: List[str] = []
-    i = 0
-    while i < len(words):
-        for run in MULTIWORD_PREPS:
-            if tuple(words[i:i + len(run)]) == run:
-                out.append(" ".join(run))
-                i += len(run)
-                break
-        else:
-            out.append(words[i])
-            i += 1
     # Degree/manner adverbs modify adjectives or verbs, never head or
     # attribute a noun — drop them before chunking ("partly cloudy sky").
-    words = [w for w in out if w not in ADVERBS]
+    words = [w for w in collapse_multiword(tokens) if w not in ADVERBS]
     tuples: Tuples = set()
 
     # Chunk into NPs and connectors.

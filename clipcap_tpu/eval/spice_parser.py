@@ -25,17 +25,15 @@ from typing import List, Optional, Sequence, Set, Tuple
 from clipcap_tpu.eval.depparse import ArcStandardParser, read_treebank
 from clipcap_tpu.eval.postag import PerceptronTagger
 from clipcap_tpu.eval.scene_graph import tuples_from_parse
+# Shared with the chunker extractor so both see identical tokens (the
+# multiword nmod labels CoreNLP emits).  spice.py imports THIS module only
+# lazily, so there is no cycle.
+from clipcap_tpu.eval.spice import collapse_multiword
 
 Tuples = Set[Tuple[str, ...]]
 
 _DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 TREEBANK_PATH = os.path.join(_DATA_DIR, "caption_treebank.txt")
-
-# Token runs collapsed into single prepositional link tokens before
-# tagging, longest first — the same multiword nmod labels CoreNLP emits
-# (mirrors eval/spice.py's chunker pre-pass).
-MULTIWORD_PREPS = [("in", "front", "of"), ("on", "top", "of"),
-                   ("next", "to"), ("close", "to")]
 
 _lock = threading.Lock()
 _models: Optional[Tuple[PerceptronTagger, ArcStandardParser]] = None
@@ -45,10 +43,17 @@ PARSER_EPOCHS = 14
 SEED = 1
 
 
-def _cache_path() -> str:
-    return os.environ.get(
-        "CLIPCAP_SPICE_MODEL_CACHE",
-        os.path.join(_DATA_DIR, "spice_model_cache.json.gz"))
+def _cache_paths() -> List[str]:
+    """Candidate cache locations, read in order; the first writable one
+    receives retrained models.  The packaged copy ships alongside the
+    treebank; the user cache dir covers read-only installs (root-owned
+    site-packages)."""
+    env = os.environ.get("CLIPCAP_SPICE_MODEL_CACHE")
+    if env:
+        return [env]
+    return [os.path.join(_DATA_DIR, "spice_model_cache.json.gz"),
+            os.path.expanduser(
+                "~/.cache/clipcap_tpu/spice_model_cache.json.gz")]
 
 
 def _treebank_digest() -> str:
@@ -83,8 +88,10 @@ def get_models() -> Tuple[PerceptronTagger, ArcStandardParser]:
         if _models is not None:
             return _models
         digest = _treebank_digest()
-        path = _cache_path()
-        if os.path.exists(path):
+        paths = _cache_paths()
+        for path in paths:
+            if not os.path.exists(path):
+                continue
             try:
                 with gzip.open(path, "rt") as fh:
                     blob = json.load(fh)
@@ -95,32 +102,27 @@ def get_models() -> Tuple[PerceptronTagger, ArcStandardParser]:
             except (OSError, ValueError, KeyError):
                 pass
         tagger, parser = _train()
-        try:
-            tmp = path + ".tmp"
-            with gzip.open(tmp, "wt") as fh:
-                json.dump({"digest": digest, "tagger": tagger.to_dict(),
-                           "parser": parser.to_dict()}, fh)
-            os.replace(tmp, path)
-        except OSError:
-            pass  # unwritable cache location: train every process
+        blob = json.dumps({"digest": digest, "tagger": tagger.to_dict(),
+                           "parser": parser.to_dict()})
+        for path in paths:
+            try:
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                tmp = path + ".tmp"
+                with gzip.open(tmp, "wt") as fh:
+                    fh.write(blob)
+                os.replace(tmp, path)
+                break
+            except OSError:
+                continue
+        else:
+            import warnings
+
+            warnings.warn(
+                "SPICE parser models could not be cached (tried: "
+                f"{', '.join(paths)}); every process will retrain (~30 s). "
+                "Point CLIPCAP_SPICE_MODEL_CACHE at a writable path.")
         _models = (tagger, parser)
         return _models
-
-
-def collapse_multiword(tokens: Sequence[str]) -> List[str]:
-    out: List[str] = []
-    i = 0
-    n = len(tokens)
-    while i < n:
-        for run in MULTIWORD_PREPS:
-            if tuple(tokens[i:i + len(run)]) == run:
-                out.append(" ".join(run))
-                i += len(run)
-                break
-        else:
-            out.append(tokens[i])
-            i += 1
-    return out
 
 
 def parse_tokens(tokens: Sequence[str]

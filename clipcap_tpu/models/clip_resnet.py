@@ -259,12 +259,9 @@ def clip_encode_image_resnet(
 # ---------------------------------------------------------------------------
 
 
-def _to_np(x) -> np.ndarray:
-    if isinstance(x, np.ndarray):
-        return x
-    if hasattr(x, "detach"):
-        return x.detach().cpu().float().numpy()
-    return np.asarray(x)
+# one tensor-conversion helper for every checkpoint importer (a torch
+# dtype handled there must behave identically for ViT and RN imports)
+from clipcap_tpu.models.clip_vit import _to_np
 
 
 def _import_conv(sd, key) -> Params:

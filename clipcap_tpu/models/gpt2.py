@@ -136,8 +136,7 @@ def init_gpt2(cfg: GPT2Config, seed: int = 0) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _round_up(n: int, m: int) -> int:
-    return (n + m - 1) // m * m
+from clipcap_tpu.ops.layers import round_up as _round_up
 
 
 def _split_qkv(qkv: Array, cfg: GPT2Config) -> Tuple[Array, Array, Array]:

@@ -29,6 +29,11 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 
+def round_up(n: int, m: int) -> int:
+    """Smallest multiple of ``m`` >= ``n`` (tile/slot quantization)."""
+    return (n + m - 1) // m * m
+
+
 def gelu_new(x: Array) -> Array:
     """GPT-2's tanh-approximated GELU (HF ``gelu_new`` / ``NewGELUActivation``)."""
     c = math.sqrt(2.0 / math.pi)

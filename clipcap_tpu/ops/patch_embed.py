@@ -50,8 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _rup(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from clipcap_tpu.ops.layers import round_up as _rup
 
 
 def _patch_kernel(img_ref, w_ref, b_ref, o_ref, *, compute_dtype):

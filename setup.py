@@ -14,6 +14,9 @@ setup(
     # instead packaged Java jars (its setup.py:20).
     package_data={
         "clipcap_tpu.native": ["Makefile", "src/*.cpp", "src/*.h"],
+        # SPICE parser treebank + pretrained model cache and the METEOR
+        # compact synonym table — runtime data the scorers load by default.
+        "clipcap_tpu.eval.data": ["*.txt", "*.json.gz"],
     },
     python_requires=">=3.10",
     install_requires=[

@@ -606,6 +606,31 @@ def test_generate_scores_standalone_driver():
     assert bleu1["scores"][0] > 0.99  # exact match
 
 
+def test_spice_shared_multiword_collapse():
+    """Both extractors must tokenize identically: the chunker and the
+    parser share ONE multiword-preposition collapse (review r5 — two
+    hand-maintained copies can drift)."""
+    from clipcap_tpu.eval import spice, spice_parser
+
+    assert spice_parser.collapse_multiword is spice.collapse_multiword
+    assert spice.collapse_multiword("a cat in front of a tv".split()) == [
+        "a", "cat", "in front of", "a", "tv"]
+
+
+def test_spice_model_cache_env_override(monkeypatch):
+    """CLIPCAP_SPICE_MODEL_CACHE pins the single cache location; without
+    it the packaged copy is tried first, then the user cache dir (for
+    read-only installs)."""
+    from clipcap_tpu.eval import spice_parser
+
+    monkeypatch.setenv("CLIPCAP_SPICE_MODEL_CACHE", "/tmp/x.gz")
+    assert spice_parser._cache_paths() == ["/tmp/x.gz"]
+    monkeypatch.delenv("CLIPCAP_SPICE_MODEL_CACHE")
+    paths = spice_parser._cache_paths()
+    assert len(paths) == 2 and paths[0].endswith(
+        "eval/data/spice_model_cache.json.gz")
+
+
 def test_spice_coordination_distribution():
     """Conjunction handling: coordinated subjects/objects share relations;
     coordinated adjectives distribute onto the shared head (the
