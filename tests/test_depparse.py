@@ -2,6 +2,8 @@
 deterministic regeneration, model serialization round-trip, and tagging /
 parsing fidelity on the training distribution."""
 import os
+
+import pytest
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -65,6 +67,25 @@ def test_model_serialization_roundtrip():
         tags = tagger.tag(words)
         assert t2.tag(words) == tags
         assert p2.parse(words, tags) == parser.parse(words, tags)
+
+
+@pytest.mark.slow
+def test_committed_model_cache_matches_fresh_training():
+    """The committed model cache IS what ships in the package: retraining
+    from the committed treebank (deterministic seed) must reproduce it
+    bit-for-bit, so a cached install and a cache-less retrain parse
+    identically on every machine (~55 s train)."""
+    import gzip
+    import json
+
+    from clipcap_tpu.eval import spice_parser as sp
+
+    tagger, parser = sp._train()
+    with gzip.open(sp._cache_paths()[0], "rt") as fh:
+        blob = json.load(fh)
+    assert blob["digest"] == sp._treebank_digest()
+    assert blob["tagger"] == json.loads(json.dumps(tagger.to_dict()))
+    assert blob["parser"] == json.loads(json.dumps(parser.to_dict()))
 
 
 def test_parse_tokens_structure():
