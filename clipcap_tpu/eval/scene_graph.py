@@ -266,13 +266,27 @@ def tuples_from_parse(words: Sequence[str], tags: Sequence[str],
                         and p.case_of(i) == "of" and p.heads[i] >= 0
                         and p.is_noun(p.heads[i])):
                     host = p.heads[i]
-                # PP relations distribute over the host's coordination
-                # group ("rows of palm trees and a bench ON THE BEACH"
-                # locates rows AND bench) — same conj propagation the
-                # Java scene-graph rules apply
-                hosts = [m for m in p.conj_group(p.conj_root(host))
+                # A TRAILING shared PP distributes over the host's
+                # coordination group ("rows of palm trees and a bench ON
+                # THE BEACH" locates rows AND bench) — but each conjunct's
+                # PRIVATE PP stays its own ("a man WITH A HAT and a woman
+                # WITH AN UMBRELLA" must not cross-relate): distribute
+                # only when no OTHER conjunct carries a cased nmod of its
+                # own.
+                group = [m for m in p.conj_group(p.conj_root(host))
                          if p.is_noun(m) and not p.is_pron(m)]
-                for hh in hosts or [host]:
+                # (of-chains are part of the NP, not private PPs — they
+                # never block distribution: "a bowl OF FRUIT and a vase
+                # on a table" still locates both)
+                others_have_pp = any(
+                    m != host and any(p.case_of(k) not in (None, "of")
+                                      for k in p.kids(m, "nmod"))
+                    for m in group)
+                # of-chains are private to their container in the other
+                # direction too: "rows OF TREES and a bench" must not
+                # yield (bench, of, trees)
+                hosts = [host] if (others_have_pp or c == "of") else group
+                for hh in hosts:
                     for b in _noun_groups(p, j):
                         out.add((w(hh), c, w(b)))
             elif lab == "poss":
@@ -300,8 +314,6 @@ def tuples_from_parse(words: Sequence[str], tags: Sequence[str],
             continue
         if p.is_verb(v) and p.kid(v, "expl") is not None:
             continue  # existential "there is"
-        if p.is_verb(v) and w(v) in COPULAS and not p.children[v]:
-            continue
 
         # locative copular predicates locate the CONTAINER of an of-chain
         # subject, not its content noun
@@ -331,14 +343,28 @@ def tuples_from_parse(words: Sequence[str], tags: Sequence[str],
 
         word = w(v)
         xcomps = p.kids(v, "xcomp")
-        objs = p.kids(v, "obj")
+        # pronoun arguments never enter tuples; filtering them HERE keeps
+        # the intransitive fallback live ("two men facing each other" ->
+        # (men, facing)), matching the oblique-pronoun convention
+        objs = [j for j in p.kids(v, "obj")
+                if p.is_noun(j) and not p.is_pron(j)]
         obls = [j for j in p.kids(v, "obl")
                 if p.is_noun(j) and not p.is_pron(j)]
 
         if word in COPULAS:
             continue  # bare auxiliary that slipped through
         if xcomps and word in RAISING:
-            continue  # raising/light verb: the xcomp carries the meaning
+            # raising/light verb: the xcomp carries the meaning — but an
+            # ADJECTIVE xcomp would otherwise vanish ("the dog looks
+            # HAPPY"), so emit it as a subject attribute first
+            if subj_group:
+                for j in xcomps:
+                    if p.is_adj(j):
+                        for k in p.conj_group(j):
+                            if p.is_adj(k):
+                                for s in subj_group:
+                                    out.add((w(s), w(k)))
+            continue
         emitted = False
         if subj_group:
             for j in objs:

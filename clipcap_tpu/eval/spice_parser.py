@@ -20,6 +20,7 @@ import hashlib
 import json
 import os
 import threading
+import zlib
 from typing import List, Optional, Sequence, Set, Tuple
 
 from clipcap_tpu.eval.depparse import ArcStandardParser, read_treebank
@@ -99,7 +100,10 @@ def get_models() -> Tuple[PerceptronTagger, ArcStandardParser]:
                     _models = (PerceptronTagger.from_dict(blob["tagger"]),
                                ArcStandardParser.from_dict(blob["parser"]))
                     return _models
-            except (OSError, ValueError, KeyError):
+            except (OSError, EOFError, zlib.error, ValueError, KeyError):
+                # OSError/EOFError/zlib BadGzipFile: truncated or corrupt
+                # cache (e.g. a crashed writer) — fall through to retrain
+                # and overwrite rather than crashing every future process
                 pass
         tagger, parser = _train()
         blob = json.dumps({"digest": digest, "tagger": tagger.to_dict(),
@@ -107,7 +111,9 @@ def get_models() -> Tuple[PerceptronTagger, ArcStandardParser]:
         for path in paths:
             try:
                 os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-                tmp = path + ".tmp"
+                tmp = f"{path}.{os.getpid()}.tmp"  # unique: two
+                # concurrent retrainers must not publish each other's
+                # half-written file
                 with gzip.open(tmp, "wt") as fh:
                     fh.write(blob)
                 os.replace(tmp, path)
