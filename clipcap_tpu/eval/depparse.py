@@ -24,8 +24,9 @@ Determinism: fixed shuffle seed, lexicographic tie-breaks.
 from __future__ import annotations
 
 import random
-from collections import defaultdict
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+from clipcap_tpu.eval.perceptron import AveragedPerceptron
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 SHIFT = "S"
 ROOT_WORD = "-ROOT-"
@@ -153,24 +154,10 @@ def _feats(words: Sequence[str], tags: Sequence[str], stack: Sequence[int],
     ]
 
 
-class ArcStandardParser:
+class ArcStandardParser(AveragedPerceptron):
     def __init__(self) -> None:
-        self.weights: Dict[str, Dict[str, float]] = {}
+        super().__init__()
         self.actions: List[str] = []
-        self._totals: Dict[Tuple[str, str], float] = defaultdict(float)
-        self._tstamps: Dict[Tuple[str, str], int] = defaultdict(int)
-        self._i = 0
-
-    # -- scoring ------------------------------------------------------------
-
-    def _score(self, feats: Sequence[str]) -> Dict[str, float]:
-        scores: Dict[str, float] = defaultdict(float)
-        for f in feats:
-            ws = self.weights.get(f)
-            if ws:
-                for a, wt in ws.items():
-                    scores[a] += wt
-        return scores
 
     @staticmethod
     def _valid(action: str, stack: List[int], buf_i: int, n: int) -> bool:
@@ -267,13 +254,6 @@ class ArcStandardParser:
         assert buf_i < n, "oracle stuck (non-projective tree?)"
         return SHIFT
 
-    def _upd(self, action: str, f: str, v: float) -> None:
-        key = (f, action)
-        w = self.weights.setdefault(f, {})
-        self._totals[key] += (self._i - self._tstamps[key]) * w.get(action, 0.0)
-        self._tstamps[key] = self._i
-        w[action] = w.get(action, 0.0) + v
-
     def train(self, trees: Iterable[Tree], epochs: int = 8, seed: int = 1
               ) -> None:
         data = list(trees)
@@ -328,19 +308,6 @@ class ArcStandardParser:
                 done_kids[gold_heads[dep]] += 1
             buf_i, _ = self._apply(gold_act, stack, buf_i, heads, labels,
                                    lchild, rchild, nkids)
-
-    def _average(self) -> None:
-        for f, ws in self.weights.items():
-            for a in list(ws):
-                key = (f, a)
-                total = self._totals[key] + (self._i - self._tstamps[key]) * ws[a]
-                avg = total / max(1, self._i)
-                if abs(avg) > 1e-12:
-                    ws[a] = round(avg, 6)
-                else:
-                    del ws[a]
-        self._totals.clear()
-        self._tstamps.clear()
 
     # -- (de)serialization ------------------------------------------------------
 

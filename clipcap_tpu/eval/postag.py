@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import random
 from collections import defaultdict
+
+from clipcap_tpu.eval.perceptron import AveragedPerceptron
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 # Tags follow the PTB tagset (the treebank uses a caption-relevant subset).
@@ -119,26 +121,13 @@ def _features(words: Sequence[str], i: int, prev: str, prev2: str
     ]
 
 
-class PerceptronTagger:
+class PerceptronTagger(AveragedPerceptron):
     def __init__(self) -> None:
-        self.weights: Dict[str, Dict[str, float]] = {}
+        super().__init__()
         self.classes: List[str] = []
         self.tagdict: Dict[str, str] = {}
-        # averaging accumulators
-        self._totals: Dict[Tuple[str, str], float] = defaultdict(float)
-        self._tstamps: Dict[Tuple[str, str], int] = defaultdict(int)
-        self._i = 0
 
     # -- prediction --------------------------------------------------------
-
-    def _score(self, feats: Sequence[str]) -> Dict[str, float]:
-        scores: Dict[str, float] = defaultdict(float)
-        for f in feats:
-            ws = self.weights.get(f)
-            if ws:
-                for cls, w in ws.items():
-                    scores[cls] += w
-        return scores
 
     def _predict(self, feats: Sequence[str]) -> str:
         scores = self._score(feats)
@@ -156,13 +145,6 @@ class PerceptronTagger:
         return out
 
     # -- training ----------------------------------------------------------
-
-    def _upd(self, cls: str, f: str, v: float) -> None:
-        key = (f, cls)
-        w = self.weights.setdefault(f, {})
-        self._totals[key] += (self._i - self._tstamps[key]) * w.get(cls, 0.0)
-        self._tstamps[key] = self._i
-        w[cls] = w.get(cls, 0.0) + v
 
     def train(self, sentences: Iterable[Tuple[Sequence[str], Sequence[str]]],
               epochs: int = 6, seed: int = 1,
@@ -206,19 +188,6 @@ class PerceptronTagger:
                             self._upd(t, f, -1.0)
                     prev2, prev = prev, gold[i]  # gold history
         self._average()
-
-    def _average(self) -> None:
-        for f, ws in self.weights.items():
-            for cls in list(ws):
-                key = (f, cls)
-                total = self._totals[key] + (self._i - self._tstamps[key]) * ws[cls]
-                avg = total / max(1, self._i)
-                if abs(avg) > 1e-12:
-                    ws[cls] = round(avg, 6)
-                else:
-                    del ws[cls]
-        self._totals.clear()
-        self._tstamps.clear()
 
     # -- (de)serialization --------------------------------------------------
 
