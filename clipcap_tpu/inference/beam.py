@@ -298,7 +298,10 @@ def beam_search_batched(
             conv = jnp.all(anc3 == rows0[:, None, :], axis=1)
             conv = jnp.logical_and(conv, t_iota < step - 1)  # written only
             conv = jnp.concatenate(
-                [conv, jnp.zeros((R, 1), bool)], axis=1)   # all-True sentinel
+                [conv, jnp.zeros((R, 1), bool)], axis=1)
+            # ^ False sentinel: when every written position is converged,
+            # argmin lands on this column and yields c = P + N (consolidate
+            # everything); without it argmin of an all-True row returns 0.
             # Per-sample converged length (leading all-equal run).
             c = jnp.maximum(c, P + jnp.argmin(conv, axis=1).astype(jnp.int32))
             rows = jnp.pad(rows0, ((0, 0), (0, sc_slots - P - N)))

@@ -170,7 +170,15 @@ def generate_beam(
     lens = np.asarray(result.seq_lengths)
     order = np.argsort(-np.asarray(result.scores))
     texts = [tokenizer.decode([int(t) for t in toks[i][: int(lens[i])]]) for i in order]
-    return texts[: max(1, number_to_generate)]
+    n = max(1, number_to_generate)
+    if n > len(texts):
+        # The reference returns exactly number_to_generate strings even
+        # past beam_size (its deterministic re-runs yield duplicates,
+        # /root/reference/clipcap/inference/base.py:79): cycle the ranked
+        # beams so callers sized to number_to_generate never see a short
+        # list.
+        texts = [texts[i % len(texts)] for i in range(n)]
+    return texts[:n]
 
 
 def generate(

@@ -95,6 +95,15 @@ def _pick_u_tile(U: int, cap: int | None = None) -> int:
     for t in range(_SUBLANE, min(cap, U) + 1, _SUBLANE):
         if U % t == 0:
             best = t
+    if not default and best == 0:
+        # Explicit caps below the first aligned divisor (e.g. cap 8 with
+        # _SUBLANE=16) cannot be met exactly: take the SMALLEST aligned
+        # divisor above the cap so the region still splits into bounded
+        # tiles instead of silently degrading to one whole-buffer tile.
+        start = (cap // _SUBLANE + 1) * _SUBLANE
+        for t in range(start, U + 1, _SUBLANE):
+            if U % t == 0:
+                return t
     if default and best < max(_SUBLANE, cap // 2):
         # No divisor near the cap (e.g. the 400-slot replicated beam layout
         # under the 64 cap would land on 16-slot tiles): take the smallest
@@ -128,6 +137,51 @@ def _row_block(R: int, H: int, u_tile: int, Dh: int, itemsize: int,
     while R % g:
         g -= 1
     return g
+
+
+def _flash_update(q, kv, mask_tile, m_old, l_old, acc_old, *, scale: float,
+                  qdtype, sk=None, sv=None):
+    """One u-tile of the online-softmax (flash) recurrence — the ONE
+    numerically sensitive core shared by all three kernels (``_kernel``,
+    ``_fused_kernel``, ``_manual_kernel``); functional in/out so both the
+    ref-mutating and loop-carry kernels wrap it.
+
+    q:  [G*H, K, 2*Dh] zero-padded queries; kv: [G*H, UT, 2*Dh]
+    interleaved tile (int8 rows pre-widening when ``sk`` is given);
+    mask_tile: [Gm, K, UT] fp32 additive; m_old/l_old: [G, H, K] f32;
+    acc_old: [G, H, K, 2*Dh] f32; sk/sv: [G, H, UT] per-slot int8 k/v
+    scales or None.  Returns (m_new, l_new, acc_new).
+
+    The kv tile is used UNSLICED in both dots (see ``_kernel``'s docstring
+    for the layout argument); masks use the finite NEG_INF so max(logits)
+    stays finite and the -inf init needs no special cases."""
+    G, H, K = m_old.shape
+    UT = kv.shape[1]
+    if sk is not None:
+        kv = kv.astype(qdtype)
+    # [G*H, K, UT] fp32: batch dim (gh), contract the full 128 lanes.
+    logits = jax.lax.dot_general(
+        q, kv, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    logits = logits.reshape(G, H, K, UT)
+    if sk is not None:
+        logits = logits * sk[:, :, None, :]
+    logits = logits + mask_tile[:, None]
+
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1))
+    alpha = jnp.exp(m_old - m_new)
+    w = jnp.exp(logits - m_new[..., None])          # [G, H, K, UT]
+    l_new = l_old * alpha + jnp.sum(w, axis=-1)
+    if sv is not None:
+        w = w * sv[:, :, None, :]
+    wv = jax.lax.dot_general(
+        w.reshape(G * H, K, UT).astype(qdtype), kv,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(G, H, K, acc_old.shape[-1])
+    acc_new = acc_old * alpha[..., None] + wv
+    return m_new, l_new, acc_new
 
 
 def _kernel(b_ref, q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
@@ -208,47 +262,22 @@ def _kernel(b_ref, q_ref, kv_ref, mask_ref, *rest, scale: float, Dh: int,
 
     @pl.when(active)
     def _accumulate():
-        mask_tile = mask_ref[:, 0]                       # [Gm, K, UT]
         UT = kv_ref.shape[-2]
         # Merge the leading (G, H) dims: layout-free (tiling is on the last
         # two dims) and Mosaic's matmul supports at most ONE batch dim.
         # A 5-D kv_ref is the TILE-MAJOR cache ([G, 1, H, UT, 2*Dh] — one
         # contiguous HBM chunk per row, see init_kv_cache); the reshape
         # drops the singleton tile dim, same element order either way.
-        q = q_ref[:].reshape(G * H, K, 2 * Dh)
-        kv = kv_ref[:].reshape(G * H, UT, 2 * Dh)
-        if int8:
-            kv = kv.astype(q_ref.dtype)
-
-        # [G*H, K, UT] fp32: batch dim (gh), contract the full 128 lanes.
-        logits = jax.lax.dot_general(
-            q, kv, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        logits = logits.reshape(G, H, K, UT)
-        if int8:
-            logits = logits * sk_ref[:, 0][:, :, None, :]  # sk: [G,H,UT]
-        logits = logits + mask_tile[:, None]
-
-        # Online softmax (flash recurrence), fp32.  Masks use the finite
-        # NEG_INF (-1e9), so max(logits) is always finite; the -inf init
-        # makes the first tile's alpha exp(-inf - finite) = 0 with no
-        # special cases.
-        m_old = m_ref[:]
-        m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1))
-        alpha = jnp.exp(m_old - m_new)
-        w = jnp.exp(logits - m_new[..., None])      # [G, H, K, UT]
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(w, axis=-1)
+        m_new, l_new, acc_new = _flash_update(
+            q_ref[:].reshape(G * H, K, 2 * Dh),
+            kv_ref[:].reshape(G * H, UT, 2 * Dh),
+            mask_ref[:, 0], m_ref[:], l_ref[:], acc_ref[:],
+            scale=scale, qdtype=q_ref.dtype,
+            sk=sk_ref[:, 0] if int8 else None,
+            sv=sv_ref[:, 0] if int8 else None)
         m_ref[:] = m_new
-
-        if int8:
-            w = w * sv_ref[:, 0][:, :, None, :]
-        wv = jax.lax.dot_general(
-            w.reshape(G * H, K, UT).astype(q_ref.dtype), kv,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(G, H, K, 2 * Dh)
-        acc_ref[:] = acc_ref[:] * alpha[..., None] + wv
+        l_ref[:] = l_new
+        acc_ref[:] = acc_new
 
     @pl.when(u == n_u - 1)
     def _finish():
@@ -531,24 +560,8 @@ def _manual_kernel(b_ref, q_ref, mask_ref, kv_hbm, out_ref, buf, sem,
         # Both layouts land as [G, H, u_tile, 2*Dh] in the buffer slot.
         kv = buf[slot].reshape(G * H, u_tile, Dh2)
         mask_tile = mask_ref[:, pl.dslice(lo + t, 1)][:, 0]       # [Gm,K,UT]
-
-        logits = jax.lax.dot_general(
-            q, kv, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(G, H, K, u_tile) * scale
-        logits = logits + mask_tile[:, None]
-
-        m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1))
-        alpha = jnp.exp(m_old - m_new)
-        w = jnp.exp(logits - m_new[..., None])
-        l_new = l_old * alpha + jnp.sum(w, axis=-1)
-        wv = jax.lax.dot_general(
-            w.reshape(G * H, K, u_tile).astype(q_ref.dtype), kv,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(G, H, K, Dh2)
-        acc_new = acc_old * alpha[..., None] + wv
-        return m_new, l_new, acc_new
+        return _flash_update(q, kv, mask_tile, m_old, l_old, acc_old,
+                             scale=scale, qdtype=q_ref.dtype)
 
     m0 = jnp.full((G, H, K), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((G, H, K), jnp.float32)
@@ -654,35 +667,17 @@ def _fused_kernel(b_ref, q_ref, skv_ref, smask_ref, lkv_ref, lmask_ref,
         acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
     def _accumulate(kv_ref, mask_ref, sk_ref, sv_ref, int8):
-        mask_tile = mask_ref[:, 0]                       # [G, K, UT]
         UT = kv_ref.shape[2]
-        q = q_ref[:].reshape(G * H, K, 2 * Dh)
-        kv = kv_ref[:].reshape(G * H, UT, 2 * Dh)
-        if int8:
-            kv = kv.astype(q_ref.dtype)
-        logits = jax.lax.dot_general(
-            q, kv, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        logits = logits.reshape(G, H, K, UT)
-        if int8:
-            logits = logits * sk_ref[:, 0][:, :, None, :]
-        logits = logits + mask_tile[:, None]
-
-        m_old = m_ref[:]
-        m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1))
-        alpha = jnp.exp(m_old - m_new)
-        w = jnp.exp(logits - m_new[..., None])
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(w, axis=-1)
+        m_new, l_new, acc_new = _flash_update(
+            q_ref[:].reshape(G * H, K, 2 * Dh),
+            kv_ref[:].reshape(G * H, UT, 2 * Dh),
+            mask_ref[:, 0], m_ref[:], l_ref[:], acc_ref[:],
+            scale=scale, qdtype=q_ref.dtype,
+            sk=sk_ref[:, 0] if int8 else None,
+            sv=sv_ref[:, 0] if int8 else None)
         m_ref[:] = m_new
-        if int8:
-            w = w * sv_ref[:, 0][:, :, None, :]
-        wv = jax.lax.dot_general(
-            w.reshape(G * H, K, UT).astype(q_ref.dtype), kv,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(G, H, K, 2 * Dh)
-        acc_ref[:] = acc_ref[:] * alpha[..., None] + wv
+        l_ref[:] = l_new
+        acc_ref[:] = acc_new
 
     @pl.when(u < sh_n)
     def _phase_shared():
@@ -715,12 +710,8 @@ def _fused_call(q_pad: Array, skv: Array, smask: Array, lkv: Array,
     sh_int8 = sh_scales is not None
     lv_int8 = lv_scales is not None
     # One G for both operand streams: budget over the two tiles combined.
-    per_row = H * (ut_sh + ut_lv) * 2 * Dh * lkv.dtype.itemsize
-    g = max(1, int(_BLOCK_BYTES_TARGET // max(1, per_row)))
-    g = min(g, R, max_block_rows if max_block_rows else R)
-    while R % g:
-        g -= 1
-    G = g
+    G = _row_block(R, H, ut_sh + ut_lv, Dh, lkv.dtype.itemsize,
+                   max_block_rows)
     nb = R // G
 
     n_sh_tiles = skv.shape[2] // ut_sh
