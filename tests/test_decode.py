@@ -433,3 +433,53 @@ def test_tile_major_cache_parity():
                             dataclasses.replace(repl, tile_major=True),
                             dtype=jnp.float32, flash=True)
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
+def test_generate_beam_exact_length_contract(tiny):
+    """generate_beam returns EXACTLY number_to_generate captions — past
+    beam_size it cycles the ranked beams (the reference's deterministic
+    re-runs return duplicates, reference inference/base.py:79), so callers
+    sized to number_to_generate never see a short list (review r5)."""
+    import jax.numpy as jnp
+
+    from clipcap_tpu.config import Config, EncoderConfig
+    from clipcap_tpu.inference.generate import generate_beam
+    from clipcap_tpu.models.clipcap import ClipCapModel
+    from clipcap_tpu.models.mapper import MapperConfig, init_mapper
+    from clipcap_tpu.utils.tokenizer import get_tokenizer
+
+    _, params, cfg = tiny
+    config = Config(language_model="tiny", prefix_length=4,
+                    projection_length=4,
+                    encoder_config=EncoderConfig(encoder_embedding_size=16))
+    mcfg = MapperConfig(encoder_embedding_size=16,
+                        lm_embedding_size=cfg.n_embd, prefix_length=4,
+                        projection_length=4, num_layers=1, num_heads=2)
+    model = ClipCapModel(config=config, lm_config=cfg, mapper_config=mcfg,
+                         params={"mapper": init_mapper(mcfg, seed=0),
+                                 "lm": params})
+    tok = get_tokenizer("tiny")
+    prefix = jnp.asarray(
+        (np.random.default_rng(3).normal(size=(1, 4, cfg.n_embd)) * 0.02)
+        .astype(np.float32))
+    c5 = generate_beam(model, tok, prefix, beam_size=4, entry_length=6,
+                       number_to_generate=4)
+    c9 = generate_beam(model, tok, prefix, beam_size=4, entry_length=6,
+                       number_to_generate=9)
+    c1 = generate_beam(model, tok, prefix, beam_size=4, entry_length=6,
+                       number_to_generate=1)
+    assert len(c5) == 4 and len(c9) == 9 and len(c1) == 1
+    assert c9[:4] == c5 and c9[4:8] == c5 and c9[8] == c5[0]
+
+
+def test_pick_u_tile_explicit_cap_contract():
+    """Explicit caps split the region even below the sublane quantum (the
+    smallest aligned divisor above the cap), and the default path keeps
+    its single-tile and near-cap behaviors (review r5)."""
+    from clipcap_tpu.ops.flash_decode import _pick_u_tile
+
+    assert _pick_u_tile(384) == 64          # default cap: aligned divisor
+    assert _pick_u_tile(80) == 80           # <=128 slots: single tile
+    assert _pick_u_tile(384, cap=96) == 96  # explicit aligned cap honored
+    assert _pick_u_tile(384, cap=8) == 16   # sub-sublane cap: smallest
+    assert _pick_u_tile(384, cap=17) == 16  # unaligned cap: best below
