@@ -45,6 +45,14 @@ def maybe_initialize(verbose: bool = True) -> bool:
 
     kwargs = {}
     if coordinator:
+        missing = [v for v in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+                   if v not in os.environ]
+        if missing:
+            raise RuntimeError(
+                "JAX_COORDINATOR_ADDRESS is set but "
+                f"{' and '.join(missing)} {'is' if len(missing) == 1 else 'are'} "
+                "not — all three env vars are required for multi-host "
+                "initialization (see SCALING.md).")
         kwargs = dict(
             coordinator_address=coordinator,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

@@ -116,18 +116,38 @@ def gpt2_tp_shardings(mesh: Mesh, params: Params) -> Params:
     return specs
 
 
+def _is_masked(node) -> bool:
+    """optax.MaskedNode placeholder (the frozen-LM ``multi_transform``
+    optimizer stores these at masked leaves inside mu/nu)."""
+    return type(node).__name__ == "MaskedNode"
+
+
+def _shaped_like_params(node, param) -> bool:
+    """Dict-skeleton match against the params tree, tolerating
+    ``MaskedNode`` anywhere a param (sub)tree would sit — plain
+    ``tree_structure`` equality misses the masked mu/nu of a prefix-only
+    + TP run, silently replicating every moment (review r5)."""
+    if _is_masked(node):
+        return True
+    if isinstance(param, dict):
+        return (isinstance(node, dict) and set(node) == set(param)
+                and all(_shaped_like_params(node[k], param[k])
+                        for k in node))
+    return not isinstance(node, (dict, tuple, list))
+
+
 def _map_params_shaped(tree: Any, params: Params, fn, leaf=None) -> Any:
-    """Apply ``fn`` to every subtree of ``tree`` whose pytree structure
-    equals ``params``'s (the mu/nu moment trees inside optax states),
+    """Apply ``fn`` to every subtree of ``tree`` shaped like ``params``
+    (the mu/nu moment trees inside optax states, incl. masked ones),
     recursing through tuples/namedtuples/dicts.  Other leaves pass
     through ``leaf`` (identity when None — e.g. ``lambda _: spec`` turns
-    the walk into a sharding-spec builder, train/step.py).  The single
+    the walk into a sharding-spec builder, train/step.py).  ``fn`` must
+    tolerate ``MaskedNode`` leaves inside its subtree.  The single
     home for optax-state traversal: pack/unpack and the TP sharding
     builder must walk the state identically or they diverge silently."""
-    p_struct = jax.tree_util.tree_structure(params)
 
     def rec(node):
-        if jax.tree_util.tree_structure(node) == p_struct:
+        if isinstance(node, dict) and _shaped_like_params(node, params):
             return fn(node)
         if isinstance(node, tuple):
             children = [rec(c) for c in node]
@@ -149,6 +169,8 @@ def pack_train_state(state, lm_cfg: GPT2Config):
         return state, lm_cfg
 
     def tr(params):
+        if not jax.tree_util.tree_leaves(params["lm"]):
+            return params  # masked moments of a frozen LM: nothing to pack
         lm, _ = pack_qkv_head_major(params["lm"], lm_cfg)
         return dict(params, lm=lm)
 
@@ -167,6 +189,8 @@ def unpack_train_state(state, lm_cfg: GPT2Config):
         return state, lm_cfg
 
     def tr(params):
+        if not jax.tree_util.tree_leaves(params["lm"]):
+            return params  # masked moments of a frozen LM: nothing to unpack
         lm, _ = unpack_qkv_head_major(params["lm"], lm_cfg)
         return dict(params, lm=lm)
 

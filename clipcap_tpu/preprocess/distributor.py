@@ -29,10 +29,10 @@ class MultiHostDistributor:
         self.output_partition_count = output_partition_count
 
     def __call__(self) -> None:
-        import jax
+        # one home for the host-assignment policy (parallel/mesh.py)
+        from clipcap_tpu.parallel.mesh import process_shard
 
-        pi, pc = jax.process_index(), jax.process_count()
-        for i in range(pi, self.output_partition_count, pc):
+        for i in process_shard(list(range(self.output_partition_count))):
             self.runner(i)
 
 

@@ -24,7 +24,8 @@ from clipcap_tpu.preprocess.writer import PartitionWriter, write_encoder_config
 from clipcap_tpu.utils.braceexpand import braceexpand
 
 
-def _partition_count(args: Namespace, input_dataset) -> int:
+def _partition_count(args: Namespace, input_dataset,
+                     folder_keys=None) -> int:
     """Number of output partitions: explicit override, or an estimate of
     the sample count divided into ``write_batch_size``-sized partitions.
     Raises ``ValueError`` when the input yields no samples to estimate
@@ -32,10 +33,9 @@ def _partition_count(args: Namespace, input_dataset) -> int:
     if args.output_partition_count is not None:
         return args.output_partition_count
     if args.input_format == "files":
-        keys, _, _ = folder_to_keys(
-            input_dataset, args.media_file_extensions.lower().split(",")
-        )
-        estimate = len(keys)
+        estimate = len(folder_keys[0]) if folder_keys is not None else len(
+            folder_to_keys(input_dataset,
+                           args.media_file_extensions.lower().split(","))[0])
     else:  # webdataset: tar count x nominal samples per tar
         estimate = len(input_dataset) * args.wds_samples_per_file
     if estimate == 0:
@@ -72,8 +72,16 @@ def preprocess(args: Namespace) -> int:
         encoder_config.encoder_embedding_size = encoder_model.embedding_size
     write_encoder_config(encoder_config, args.output_folder)
 
+    # ONE directory scan for the whole run: partition estimation and every
+    # per-partition FilesReader share it (a sequential run over N
+    # partitions otherwise walks the tree N+1 times).
+    folder_keys = None
+    if args.input_format == "files":
+        folder_keys = folder_to_keys(
+            input_dataset, args.media_file_extensions.lower().split(","))
     try:
-        output_partition_count = _partition_count(args, input_dataset)
+        output_partition_count = _partition_count(args, input_dataset,
+                                                  folder_keys)
     except ValueError as e:
         print(f"preprocess: {e}")
         return 1
@@ -84,6 +92,7 @@ def preprocess(args: Namespace) -> int:
                 sampler, sample_processor, input_dataset,
                 args.media_file_extensions.lower().split(","),
                 args.batch_size, args.workers,
+                precomputed_keys=folder_keys,
             )
         elif args.input_format == "webdataset":
             return WebdatasetReader(

@@ -103,8 +103,15 @@ class FilesReader:
         media_file_extensions,
         batch_size,
         num_prepro_workers,
+        precomputed_keys=None,
     ) -> None:
-        keys, text_files, media_files = folder_to_keys(input_dataset, media_file_extensions)
+        # ``precomputed_keys``: the (keys, text_files, media_files) triple
+        # from one shared ``folder_to_keys`` scan — a sequential run over N
+        # partitions would otherwise walk the whole tree N+1 times
+        # (dominant on network filesystems).
+        keys, text_files, media_files = (
+            precomputed_keys if precomputed_keys is not None
+            else folder_to_keys(input_dataset, media_file_extensions))
         self.keys = sampler(keys)
         self.text_files = {k: text_files[k] for k in self.keys}
         self.media_files = {k: media_files[k] for k in self.keys}
@@ -138,7 +145,12 @@ def iterate_tar_samples(url: str, cache_path: Optional[str] = None) -> Iterator[
     """Stream grouped samples from one webdataset tar shard.
 
     Webdataset convention: files sharing a basename-before-first-dot belong
-    to one sample; the extension (everything after the first dot) is the key.
+    to one sample; the extension (everything after the FIRST DOT OF THE
+    BASENAME) is the key.  The split must ignore dots in directory
+    components — ``./0001.jpg`` (tar -cf shard.tar .) and
+    ``imgs.v2/0001.jpg`` group by ``0001`` with key ``jpg``, not by the
+    pre-slash prefix (which would silently merge every member into one
+    sample).
     """
     with _open_shard(url, cache_path) as f:
         with tarfile.open(fileobj=f, mode="r|*") as tar:
@@ -148,9 +160,11 @@ def iterate_tar_samples(url: str, cache_path: Optional[str] = None) -> Iterator[
                 if not member.isfile():
                     continue
                 name = member.name
-                base, dot, ext = name.partition(".")
+                dirname, _, fname = name.rpartition("/")
+                stem, dot, ext = fname.partition(".")
                 if not dot:
                     continue
+                base = f"{dirname}/{stem}" if dirname else stem
                 if base != current_key:
                     if sample:
                         yield sample

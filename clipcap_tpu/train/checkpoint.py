@@ -103,6 +103,8 @@ def save_train_state(path: str, state) -> None:
     """Save a full TrainState (step/params/opt_state)."""
     tree = {"step": state.step, "params": state.params, "opt_state": state.opt_state}
     if path.endswith(".npz"):
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)  # same contract as save_params
         np.savez(path, **_flatten(tree))
     else:
         _orbax_save(path, tree)

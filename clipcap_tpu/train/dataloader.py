@@ -40,6 +40,8 @@ class EmbedDataset:
         pad_final_batch: bool = True,
         start: int = 0,
         end: Optional[int] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ) -> None:
         self.tokenizer = tokenizer if tokenizer is not None else get_tokenizer(language_model)
         self.batch_size = batch_size
@@ -60,14 +62,37 @@ class EmbedDataset:
         self.end = self.reader.count if end is None else min(end, self.reader.count)
         self.encoder_embedding_size = self.reader.dimension
 
+        # Multi-host: each process streams a CONTIGUOUS disjoint row range
+        # (the EmbeddingReader start/end hook), with ``min_steps`` equalized
+        # to the largest share so every process emits the same number of
+        # (static-shape) batches — a short host pads with all-pad batches
+        # instead of starving the collective.  ``batch_size`` here is the
+        # PER-PROCESS batch.
+        self.min_steps: Optional[int] = None
+        if process_count and process_count > 1:
+            total = self.end - self.start
+            per = math.ceil(total / process_count)
+            base = self.start
+            self.start = min(base + process_index * per, base + total)
+            self.end = min(self.start + per, base + total)
+            self.min_steps = math.ceil(per / batch_size)
+
     def _pad_tokens(self, ids: List[int]) -> np.ndarray:
         out = np.full((self.max_token_length,), -1, dtype=np.int32)
         ids = ids[: self.max_token_length]
         out[: len(ids)] = ids
         return out
 
+    def _pad_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        B = self.batch_size
+        tokens = np.full((B, self.max_token_length), -1, np.int32)
+        embeds = np.zeros((B,) + tuple(self.reader.embedding_shape),
+                          np.float32)
+        return tokens, embeds
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         B = self.batch_size
+        emitted = 0
         for embeds, meta in self.reader(
             batch_size=B, start=self.start, end=self.end,
             max_piece_size=self.reader_max_piece_size,
@@ -84,10 +109,16 @@ class EmbedDataset:
                 embeds = np.concatenate(
                     [embeds, np.zeros((n,) + embeds.shape[1:], np.float32)]
                 )
+            emitted += 1
             yield tokens, embeds
+        if self.min_steps is not None:
+            while emitted < self.min_steps:
+                emitted += 1
+                yield self._pad_batch()
 
     def __len__(self) -> int:
-        return math.ceil((self.end - self.start) / self.batch_size)
+        n = math.ceil((self.end - self.start) / self.batch_size)
+        return max(n, self.min_steps or 0)
 
 
 class PrefetchLoader:

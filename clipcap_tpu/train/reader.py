@@ -17,9 +17,10 @@ PyTorch reference wrote) — re-implemented as a host-side streaming reader:
 from __future__ import annotations
 
 import os
-import queue
 import re
 import threading
+from collections import OrderedDict, deque
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -107,56 +108,73 @@ class EmbeddingReader:
     ) -> Iterator[Tuple[np.ndarray, dict]]:
         """Yield ``(embeddings[B], metadata dict of lists)`` batches.
 
-        Pieces are loaded by a bounded background thread pool and re-assembled
-        in order; batches span piece boundaries.
+        The [start, end) row range is split into chunks of at most
+        ``max_piece_size`` rows (so one in-flight unit is bounded no matter
+        how large the on-disk pieces are) and loaded by a
+        ``parallel_pieces``-worker thread pool with a bounded ordered
+        window — disk reads overlap each other AND the consumer; batches
+        span chunk/piece boundaries.
         """
         end = self.count if end is None else min(end, self.count)
         if start >= end:
             return
 
-        # Map the [start, end) row range onto pieces.
-        spans: List[Tuple[_Piece, int, int]] = []  # (piece, lo, hi) piece-local
+        # Map the [start, end) row range onto pieces, then onto row chunks.
+        chunks: List[Tuple[_Piece, int, int]] = []  # (piece, lo, hi) local
         offset = 0
+        step = max(1, int(max_piece_size))
         for p in self.pieces:
             lo = max(start - offset, 0)
             hi = min(end - offset, p.count)
-            if lo < hi:
-                spans.append((p, lo, hi))
+            for c0 in range(lo, hi, step):
+                chunks.append((p, c0, min(c0 + step, hi)))
             offset += p.count
             if offset >= end:
                 break
 
-        q: "queue.Queue" = queue.Queue(maxsize=max(2, parallel_pieces))
-        stop = threading.Event()
+        # Caption columns are stored one whole column per piece: memoize the
+        # two most recent so consecutive chunks of a piece do not re-read it,
+        # without holding every in-flight piece's column.
+        col_cache: "OrderedDict[str, dict]" = OrderedDict()
+        cache_lock = threading.Lock()
 
-        def produce():
-            try:
-                for piece, lo, hi in spans:
-                    if stop.is_set():
-                        return
-                    emb = np.load(piece.npy_path, mmap_mode="r")[lo:hi]
-                    meta = {}
-                    for col in self.meta_columns:
-                        meta[col] = _read_parquet_column(piece.parquet_path, col)[lo:hi]
-                    q.put((np.asarray(emb), meta))
-                q.put(None)
-            except Exception as e:  # surface reader errors to the consumer
-                q.put(e)
+        def columns(piece: _Piece) -> dict:
+            with cache_lock:
+                if piece.parquet_path in col_cache:
+                    col_cache.move_to_end(piece.parquet_path)
+                    return col_cache[piece.parquet_path]
+            cols = {c: _read_parquet_column(piece.parquet_path, c)
+                    for c in self.meta_columns}
+            with cache_lock:
+                col_cache[piece.parquet_path] = cols
+                while len(col_cache) > max(2, parallel_pieces):
+                    col_cache.popitem(last=False)
+            return cols
 
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
+        def load(piece: _Piece, lo: int, hi: int):
+            emb = np.asarray(np.load(piece.npy_path, mmap_mode="r")[lo:hi])
+            cols = columns(piece)
+            return emb, {c: cols[c][lo:hi] for c in self.meta_columns}
 
         buf_emb: List[np.ndarray] = []
         buf_meta: List[dict] = []
         buffered = 0
-        try:
-            while True:
-                item = q.get()
-                if isinstance(item, Exception):
-                    raise item
-                if item is None:
-                    break
-                emb, meta = item
+        window = max(2, parallel_pieces)
+        with ThreadPoolExecutor(max_workers=max(1, parallel_pieces)) as pool:
+            pending: "deque" = deque()
+            it = iter(chunks)
+
+            def refill():
+                while len(pending) < window:
+                    nxt = next(it, None)
+                    if nxt is None:
+                        return
+                    pending.append(pool.submit(load, *nxt))
+
+            refill()
+            while pending:
+                emb, meta = pending.popleft().result()
+                refill()
                 buf_emb.append(emb)
                 buf_meta.append(meta)
                 buffered += emb.shape[0]
@@ -165,8 +183,6 @@ class EmbeddingReader:
                     buffered -= batch_size
             if buffered:
                 yield self._pop_batch(buf_emb, buf_meta, buffered)
-        finally:
-            stop.set()
 
     def _pop_batch(self, buf_emb, buf_meta, n):
         out_emb: List[np.ndarray] = []

@@ -84,11 +84,18 @@ def state_shardings(mesh: Mesh, state: TrainState, zero1: bool = True,
             jax.tree_util.tree_map(lambda _: rep, state.params),
             lm=gpt2_tp_shardings(mesh, state.params["lm"]),
         )
-        def moments(node_params, node_specs):
-            return jax.tree_util.tree_map(
-                lambda leaf, sp: (tp_moment_spec(leaf.shape, sp.spec, mesh)
-                                  if zero1 else sp),
-                node_params, node_specs)
+        def moments(node, specs):
+            # manual recursion: masked mu/nu (prefix-only + TP) carry
+            # MaskedNode leaves tree_map cannot align with the spec tree —
+            # a MaskedNode position mirrors itself (no leaves, no spec)
+            from clipcap_tpu.parallel.tp import _is_masked
+
+            if _is_masked(node):
+                return node
+            if isinstance(node, dict):
+                return {k: moments(node[k], specs[k]) for k in node}
+            return (tp_moment_spec(node.shape, specs.spec, mesh)
+                    if zero1 else specs)
 
         # optax states embed subtrees shaped exactly like the params
         # (mu/nu) — give those the param-aligned moment shardings;

@@ -77,12 +77,26 @@ def train(args: Namespace) -> int:
     with open(Path(args.input_dataset) / "encoder_config.yaml", "r") as f:
         encoder_config = EncoderConfig(**yaml.safe_load(f))
 
+    # Multi-host pod: --batch-size stays the GLOBAL batch; each process
+    # streams a disjoint contiguous row range and contributes its
+    # batch_size/process_count share of every step via
+    # jax.make_array_from_process_local_data below.
+    pc, pi = jax.process_count(), jax.process_index()
+    is_main = pi == 0
+    if pc > 1 and args.batch_size % pc:
+        print(f"train: --batch-size {args.batch_size} must be divisible by "
+              f"the process count ({pc})")
+        return 1
+    local_batch = args.batch_size // pc
+
     dataloader, encoder_embedding_size = get_dataloader(
         data_path=args.input_dataset,
         language_model=args.language_model,
-        batch_size=args.batch_size,
+        batch_size=local_batch,
         reader_max_piece_size=args.reader_max_piece_size,
         reader_parallel_pieces=args.reader_parallel_pieces,
+        process_index=pi if pc > 1 else None,
+        process_count=pc if pc > 1 else None,
     )
 
     encoder_config.encoder_embedding_size = encoder_embedding_size
@@ -94,12 +108,15 @@ def train(args: Namespace) -> int:
 
     model = init_clipcap(model_config)
     mode = "prefix + language model" if args.train_language_model else "prefix only"
-    print(f"training {mode}; total_steps={args.total_steps}")
+    if is_main:
+        print(f"training {mode}; total_steps={args.total_steps}" +
+              (f" over {pc} processes" if pc > 1 else ""))
 
     devices = _select_devices(args.device)
     mesh_model = max(1, int(getattr(args, "mesh_model", 0) or 0))
     mesh = make_mesh(MeshConfig(model=mesh_model), devices=devices)
-    print(f"mesh: {dict(mesh.shape)} over {len(devices)} device(s)")
+    if is_main:
+        print(f"mesh: {dict(mesh.shape)} over {len(devices)} device(s)")
 
     tx = make_optimizer(
         lr=args.optimizer_lr,
@@ -133,7 +150,11 @@ def train(args: Namespace) -> int:
     # 16 GB chip around global batch 256 for gpt2 — measured). --remat
     # overrides in either direction.
     if args.remat is None:
-        per_chip = args.batch_size // max(1, len(devices))
+        # Activations replicate over the model axis, so the per-chip
+        # activation footprint is set by the DATA-axis shard — dividing by
+        # all devices would under-count it by the model-parallel factor.
+        n_data = max(1, len(devices) // max(1, mesh_model))
+        per_chip = args.batch_size // n_data
         remat = args.train_language_model or per_chip >= 128
     else:
         remat = args.remat
@@ -149,25 +170,42 @@ def train(args: Namespace) -> int:
     )
 
     def ckpt_view(s):
-        """State as checkpoints store it: canonical qkv layout."""
+        """State as checkpoints store it: canonical qkv layout, host
+        numpy.  Multi-host: ZeRO-1 shards are not host-addressable, so the
+        state is first resharded fully-replicated (a collective EVERY
+        process must enter, even though only process 0 writes)."""
+        if pc > 1:
+            from clipcap_tpu.parallel.mesh import replicated
+
+            rep = replicated(mesh)
+            gather = jax.jit(
+                lambda t: t,
+                out_shardings=jax.tree_util.tree_map(lambda _: rep, s))
+            s = gather(s)
         if not lm_tp:
-            return s
-        import jax as _jax
+            return jax.device_get(s)
 
         from clipcap_tpu.parallel.tp import unpack_train_state
 
-        plain, _ = unpack_train_state(_jax.device_get(s), lm_cfg)
+        plain, _ = unpack_train_state(jax.device_get(s), lm_cfg)
         return plain
 
-    checkpoint_saver = CheckpointSaver(
-        model_config,
-        output_folder=args.output_folder,
-        filename_prefix=str(args.checkpoint_filename_prefix),
-        save_every_n_epochs=args.checkpoint_save_frequency,
-    )
+    # Only the main process touches the checkpoint directory (concurrent
+    # same-path writes on a pod's shared filesystem corrupt npz files);
+    # every process still computes the save-epoch condition so the
+    # replication gather inside ckpt_view stays collective.
+    save_freq = max(1, args.checkpoint_save_frequency)
+    checkpoint_saver = None
+    if is_main:
+        checkpoint_saver = CheckpointSaver(
+            model_config,
+            output_folder=args.output_folder,
+            filename_prefix=str(args.checkpoint_filename_prefix),
+            save_every_n_epochs=args.checkpoint_save_frequency,
+        )
 
     logger = None
-    if args.enable_wandb:
+    if args.enable_wandb and is_main:
         try:
             import wandb
 
@@ -176,6 +214,18 @@ def train(args: Namespace) -> int:
             print(f"wandb disabled ({e})")
 
     n_data = mesh.shape["data"]
+    if pc > 1:
+        # Per-step global batch assembly: each process supplies its local
+        # [local_batch] share; jax assembles the [batch_size] global array
+        # over the data axis (SCALING.md "per-host input pipelines").
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        tok_sh = NamedSharding(mesh, P("data", None))
+        emb_sh = NamedSharding(mesh, P("data", *([None] * (emb_ndim - 1))))
+
+        def to_global(tokens, embeds):
+            return (jax.make_array_from_process_local_data(tok_sh, tokens),
+                    jax.make_array_from_process_local_data(emb_sh, embeds))
 
     def pad_to_mesh(tokens, embeds):
         """Round the global batch up to a multiple of the data axis; padded
@@ -198,26 +248,46 @@ def train(args: Namespace) -> int:
 
     t0 = time.time()
     seen = 0
+    # Host-side step mirror: state.step increments by exactly 1 per call,
+    # so tracking it in Python avoids a device->host sync per iteration
+    # (the int() fetch blocks dispatch and idles the TPU for the host-loop
+    # latency every step); the device scalar is only fetched on logging
+    # steps, where the loss fetch synchronizes anyway.
+    host_step = int(state.step)
     for epoch in range(args.epochs):
         for tokens, embeds in dataloader:
-            tokens, embeds = pad_to_mesh(tokens, embeds)
-            will_profile = int(state.step) + 1 in profile_steps
+            if pc > 1:
+                tokens, embeds = to_global(tokens, embeds)
+            else:
+                tokens, embeds = pad_to_mesh(tokens, embeds)
+                tokens, embeds = jnp.asarray(tokens), jnp.asarray(embeds)
+            will_profile = host_step + 1 in profile_steps
             with trace(args.profile_dir if will_profile else None):
-                state, metrics = step_fn(state, jnp.asarray(tokens), jnp.asarray(embeds))
-            seen += tokens.shape[0]
-            step = int(metrics["step"])
+                state, metrics = step_fn(state, tokens, embeds)
+            seen += tokens.shape[0] // max(1, pc)
+            host_step += 1
+            step = host_step
             if step % args.logging_frequency == 0:
                 loss = float(metrics["loss"])
-                rate = seen / max(time.time() - t0, 1e-9)
-                print(f"epoch {epoch} step {step} loss {loss:.4f} ({rate:.1f} samples/s)")
+                if is_main:
+                    rate = seen * pc / max(time.time() - t0, 1e-9)
+                    print(f"epoch {epoch} step {step} loss {loss:.4f} "
+                          f"({rate:.1f} samples/s)")
                 if logger is not None:
                     logger.log({"loss": loss, "epoch": epoch, "samples_per_sec": rate}, step=step)
-        saved = checkpoint_saver.on_epoch_end(epoch, ckpt_view(state))
-        if saved:
-            print(f"checkpoint: {saved}")
+        view = None
+        if (epoch + 1) % save_freq == 0:
+            view = ckpt_view(state)  # collective: ALL processes enter
+        if is_main and view is not None:
+            saved = checkpoint_saver.on_epoch_end(epoch, view)
+            if saved:
+                print(f"checkpoint: {saved}")
 
-    final = checkpoint_saver.save_final_checkpoint(ckpt_view(state))
-    print(f"final checkpoint: {final}")
+    view = ckpt_view(state)
+    if is_main:
+        final = checkpoint_saver.save_final_checkpoint(view)
+        print(f"final checkpoint: {final}")
+    del view
     if logger is not None:
         logger.finish()
     return 0

@@ -69,6 +69,33 @@ def main(out_path: str, mode: str = "train", data_dir: str = "",
             json.dump({"process": pi, "rc": rc}, f)
         return
 
+    if mode == "train_cli":
+        # The REAL train CLI across two processes: global batch split per
+        # process, disjoint contiguous dataset ranges, one jitted step
+        # over the 4-device global mesh, checkpoints written by process 0
+        # only (train/train.py multi-host wiring, review r5).
+        from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
+
+        from clipcap_tpu.models.args import add_model_args
+        from clipcap_tpu.train.args import add_training_args
+        from clipcap_tpu.train.train import train as run_train
+
+        parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+        parser = add_training_args(parser)
+        parser = add_model_args(parser)
+        args = parser.parse_args([
+            "--input-dataset", data_dir, "--output-folder", out_dir,
+            "--language-model", "gpt2-test", "--batch-size", "8",
+            "--epochs", "2", "--scheduler-warmup-steps", "1",
+            "--logging-frequency", "1",
+            "--prefix-length", "4", "--projection-length", "4",
+            "--transformer-layers", "2", "--transformer-attention-heads", "4",
+        ])
+        rc = run_train(args)
+        with open(out_path, "w") as f:
+            json.dump({"process": pi, "rc": rc}, f)
+        return
+
     if mode == "tp":
         run_tp(out_path, pi)
         return

@@ -316,3 +316,81 @@ def test_two_process_preprocess_end_to_end(tmp_path):
         caps.extend(df["caption"].tolist())
     assert total == 13
     assert sorted(caps) == sorted(f"a tiny test image number {i}" for i in range(13))
+
+
+@pytest.mark.slow
+def test_two_process_train_cli_end_to_end(tmp_path):
+    """The full train CLI across TWO processes (review r5 multi-host
+    wiring): each process streams a disjoint contiguous dataset range and
+    feeds its half of every global batch via
+    jax.make_array_from_process_local_data; only process 0 writes
+    checkpoints, and the resulting model loads and captions."""
+    from test_pipeline import _make_files_dataset
+
+    # Build a preprocessed dataset single-process first.
+    from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
+
+    from clipcap_tpu.encoders.args import add_encoder_args
+    from clipcap_tpu.preprocess.args import add_preprocess_args
+    from clipcap_tpu.preprocess.preprocess import preprocess
+
+    data = _make_files_dataset(tmp_path / "raw", n=13)
+    dataset = str(tmp_path / "dataset")
+    parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+    parser = add_preprocess_args(parser)
+    parser = add_encoder_args(parser)
+    assert preprocess(parser.parse_args([
+        "--input-dataset", data, "--output-folder", dataset,
+        "--input-format", "files", "--batch-size", "4", "--workers", "1",
+        "--encoder-model-name", "clip",
+        "--encoder-model-variant", "test-tiny",
+    ])) == 0
+
+    models_out = tmp_path / "models"
+    port = _free_port()
+    procs, outs = [], []
+    for pid in range(NPROC):
+        out = tmp_path / f"train{pid}.json"
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES=str(NPROC),
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, CHILD, str(out), "train_cli", dataset,
+             str(models_out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+        outs.append(out)
+    logs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"child failed:\n{log}"
+    assert all(json.loads(o.read_text())["rc"] == 0 for o in outs)
+
+    # Process 0 wrote the checkpoints; the model loads and captions.
+    assert (models_out / "clipcap_final.npz").exists()
+    assert (models_out / "clipcap_config.yaml").exists()
+    # Loss lines print only on the main process and losses are the global
+    # psum'd scalar.
+    main_log = logs[0] if "loss" in logs[0] else logs[1]
+    other_log = logs[1] if main_log is logs[0] else logs[0]
+    assert "loss" in main_log and "final checkpoint" in main_log
+    assert "final checkpoint" not in other_log
+
+    import clipcap_tpu as clipcap
+
+    model, tok = clipcap.load(str(models_out / "clipcap_final.npz"),
+                              str(models_out / "clipcap_config.yaml"))
+    import jax.numpy as jnp
+    emb = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 32)).astype("float32"))
+    from clipcap_tpu.models.mapper import mapper_apply
+
+    prefix = mapper_apply(model.params["mapper"], model.mapper_config, emb)
+    caps = clipcap.generate_beam(model, tok, prefix, beam_size=2,
+                                 entry_length=4)
+    assert len(caps) == 1
